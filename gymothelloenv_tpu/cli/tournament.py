@@ -1,0 +1,83 @@
+"""Round-robin tournament CLI reproducing the reference README table
+(README.md:36-50): every policy pair plays N games on 8x8, first
+``init-rand-steps`` plies random, rows play black.
+
+Usage:
+    python -m gymothelloenv_tpu.cli.tournament --games 100
+    python -m gymothelloenv_tpu.cli.tournament --black greedy --white rand
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+
+from gymothelloenv_tpu.core.state import EnvConfig
+from gymothelloenv_tpu.policies import make_policy
+from gymothelloenv_tpu.train import play_games, tally
+
+DEFAULT_LINEUP = ("rand", "greedy", "maximin-1", "maximin-2", "maximin-3")
+
+
+def policy_from_spec(spec: str, cfg: EnvConfig):
+    if spec.startswith("maximin-"):
+        return make_policy("maximin", cfg, search_depth=int(spec.split("-")[1]))
+    return make_policy(spec, cfg)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--games", type=int, default=100)
+    parser.add_argument("--board-size", type=int, default=8)
+    parser.add_argument("--init-rand-steps", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--black", type=str, default=None,
+                        help="single pairing: black policy spec")
+    parser.add_argument("--white", type=str, default=None)
+    parser.add_argument("--lineup", type=str, default=",".join(DEFAULT_LINEUP))
+    args, _ = parser.parse_known_args(argv)
+
+    cfg = EnvConfig(board_size=args.board_size)
+    key = jax.random.PRNGKey(args.seed)
+
+    if args.black and args.white:
+        pairs = [(args.black, args.white)]
+    else:
+        lineup = args.lineup.split(",")
+        pairs = [(b, w) for b in lineup for w in lineup]
+
+    policies = {}
+
+    def get(spec):
+        if spec not in policies:
+            policies[spec] = policy_from_spec(spec, cfg)
+        return policies[spec]
+
+    results = {}
+    for black, white in pairs:
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        winners = play_games(sub, cfg, get(black), get(white),
+                             num_games=args.games,
+                             init_rand_steps=args.init_rand_steps)
+        bw, d, ww = (int(x) for x in tally(winners))
+        dt = time.time() - t0
+        results[(black, white)] = (bw, d, ww)
+        print(f"{black:>10} (B) vs {white:<10} (W):  "
+              f"{bw:3d} / {d:2d} / {ww:3d}   [{dt:6.2f}s]", flush=True)
+
+    if len(pairs) > 1:
+        lineup = args.lineup.split(",")
+        width = max(len(s) for s in lineup) + 2
+        header = " " * width + "".join(f"{w:>14}" for w in lineup)
+        print("\n" + header)
+        for b in lineup:
+            row = "".join("{:>14}".format("{}/{}/{}".format(
+                *results[(b, w)])) for w in lineup)
+            print(f"{b:<{width}}" + row)
+
+
+if __name__ == "__main__":
+    main()

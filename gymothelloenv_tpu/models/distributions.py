@@ -1,0 +1,73 @@
+"""Masked categorical action distribution.
+
+Replaces the reference's per-env Python loop that builds a
+``FixedCategorical`` over each env's legal-move logits
+(a2c_ppo_acktr/model.py:60-98, :156-178) with a single batched
+masked-softmax — the reference's main throughput sin, gone.
+
+Semantics parity:
+  * sampling/log-prob over the *legal* subset == softmax of logits with
+    illegal entries at -inf (identical distribution to indexing the legal
+    logits first).
+  * empty legal set: action 0 with log-prob 0 (model.py:71-74, :167-168).
+  * ``entropy_full`` is the UNMASKED softmax entropy — both reference update
+    rules feed the full-distribution entropy into the entropy bonus
+    (model.py:178-179, ppo.py:101-104).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+_NEG_INF = -1e9
+
+
+@struct.dataclass
+class MaskedCategorical:
+    logits: jnp.ndarray  # (..., A) raw network outputs
+    mask: jnp.ndarray    # bool (..., A) legal actions
+
+    @property
+    def any_legal(self) -> jnp.ndarray:
+        return self.mask.any(axis=-1)
+
+    @property
+    def masked_logits(self) -> jnp.ndarray:
+        return jnp.where(self.mask, self.logits, _NEG_INF)
+
+    def sample(self, key: jax.Array) -> jnp.ndarray:
+        action = jax.random.categorical(key, self.masked_logits, axis=-1)
+        return jnp.where(self.any_legal, action, 0).astype(jnp.int32)
+
+    def mode(self) -> jnp.ndarray:
+        action = jnp.argmax(self.masked_logits, axis=-1)
+        return jnp.where(self.any_legal, action, 0).astype(jnp.int32)
+
+    def log_prob(self, action: jnp.ndarray) -> jnp.ndarray:
+        """Log-prob of ``action`` under the legal-subset softmax; 0 when the
+        legal set is empty or the action is illegal (evaluate_actions
+        fallback, model.py:164-173)."""
+        logp_all = jax.nn.log_softmax(self.masked_logits, axis=-1)
+        logp = jnp.take_along_axis(
+            logp_all, action[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        legal_action = jnp.take_along_axis(
+            self.mask, action[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        return jnp.where(self.any_legal & legal_action, logp, 0.0)
+
+    def entropy_full(self) -> jnp.ndarray:
+        """Entropy of the unmasked softmax (reference entropy bonus)."""
+        logp = jax.nn.log_softmax(self.logits, axis=-1)
+        return -(jnp.exp(logp) * logp).sum(axis=-1)
+
+    def entropy_masked(self) -> jnp.ndarray:
+        """Entropy of the legal-subset distribution (the principled
+        variant; not what the reference optimizes)."""
+        logp = jax.nn.log_softmax(self.masked_logits, axis=-1)
+        p = jnp.exp(logp)
+        ent = -jnp.where(self.mask, p * logp, 0.0).sum(axis=-1)
+        return jnp.where(self.any_legal, ent, 0.0)
+
+    def probs_masked(self) -> jnp.ndarray:
+        return jax.nn.softmax(self.masked_logits, axis=-1)

@@ -1,0 +1,184 @@
+"""Flax network zoo matching the reference model capabilities.
+
+All models accept NCHW inputs ``(..., C, B, B)`` float32 (the reference's
+torch layout, produced by ``core.featurize.make_state``) and transpose to
+NHWC internally — the TPU-preferred conv layout.
+
+Families:
+  * ``DQNNet`` / ``DuelingDQNNet`` — dqn.py:73-127.
+  * ``ActorCriticNet`` — the standalone PPO net (ppo.py:29-77): shared
+    conv trunk + fc 256->128, policy head 128->A, value head 128->1.
+  * ``PolicyNet`` — the vendored masked ``Policy`` with ``CNNBase``
+    (model.py:288-314): conv trunk + fc 256->512, critic 512->1,
+    categorical head 512->A, orthogonal init (relu gain trunk, 0.01 dist
+    head, 1.0 critic), optional GRU recurrence (model.py:201-285).
+  * ``MLPBase`` — 2x64 tanh actor/critic (model.py:317-348).
+
+Conv trunk (shared shape across reference nets): conv(C->32, k3, s2, p1),
+conv(32->64, k2, valid), conv(64->64, k2, valid); for B=8 this flattens to
+256 features.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gymothelloenv_tpu.models.distributions import MaskedCategorical
+
+
+def _to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.moveaxis(x, -3, -1)
+
+
+def torch_default_init():
+    """Kaiming-uniform(a=sqrt(5)) — torch's default Conv/Linear init, for
+    variance parity with dqn.py/ppo.py nets."""
+    return nn.initializers.variance_scaling(
+        1.0 / 3.0, "fan_in", "uniform")
+
+
+def _torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class ConvTrunk(nn.Module):
+    """conv(32,k3,s2,p1) -> conv(64,k2) -> conv(64,k2), ReLU between, then
+    flatten (dqn.py:84-94 / ppo.py:33-69 / model.py:295-299)."""
+    kernel_init: nn.initializers.Initializer
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (..., B, B, C) NHWC
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    kernel_init=self.kernel_init, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Conv(64, (2, 2), padding="VALID",
+                    kernel_init=self.kernel_init, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Conv(64, (2, 2), padding="VALID",
+                    kernel_init=self.kernel_init, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        return x.reshape(x.shape[:-3] + (-1,))
+
+
+class DQNNet(nn.Module):
+    """Q-network (dqn.py:73-95): trunk -> fc 256->128 -> fc 128->A."""
+    num_actions: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvTrunk(kernel_init=torch_default_init())(_to_nhwc(x))
+        x = nn.relu(nn.Dense(128, kernel_init=torch_default_init())(x))
+        return nn.Dense(self.num_actions,
+                        kernel_init=torch_default_init())(x)
+
+
+class DuelingDQNNet(nn.Module):
+    """Dueling Q-network (dqn.py:97-127): separate advantage/value branches,
+    Q = V + A - mean(A)."""
+    num_actions: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvTrunk(kernel_init=torch_default_init())(_to_nhwc(x))
+        adv = nn.relu(nn.Dense(128, kernel_init=torch_default_init())(x))
+        val = nn.relu(nn.Dense(128, kernel_init=torch_default_init())(x))
+        adv = nn.Dense(self.num_actions,
+                       kernel_init=torch_default_init())(adv)
+        val = nn.Dense(1, kernel_init=torch_default_init())(val)
+        return val + adv - adv.mean(axis=-1, keepdims=True)
+
+
+class ActorCriticNet(nn.Module):
+    """Standalone-PPO net (ppo.py:29-77): shared trunk + fc 256->128;
+    ``pi`` head (raw logits; reference softmaxes then renormalizes over the
+    legal subset — identical to our masked softmax) and value head."""
+    num_actions: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvTrunk(kernel_init=torch_default_init())(_to_nhwc(x))
+        h = nn.relu(nn.Dense(128, kernel_init=torch_default_init())(x))
+        logits = nn.Dense(self.num_actions,
+                          kernel_init=torch_default_init())(h)
+        value = nn.Dense(1, kernel_init=torch_default_init())(h)[..., 0]
+        return logits, value
+
+
+class GRUCore(nn.Module):
+    """Single-layer GRU with episode-mask resets — NNBase._forward_gru
+    (model.py:230-285).  Hidden state is zeroed where ``mask == 0``."""
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x, h, mask):
+        h = h * mask[..., None]
+        cell = nn.GRUCell(features=self.hidden_size,
+                          kernel_init=nn.initializers.orthogonal())
+        h, y = cell(h, x)
+        return y, h
+
+
+class PolicyNet(nn.Module):
+    """Vendored masked actor-critic ``Policy`` + ``CNNBase``
+    (model.py:19-98, :288-314).
+
+    Orthogonal init: relu gain (sqrt(2)) for the trunk/fc, 0.01 for the
+    categorical head, 1.0 for the critic (utils.init usage,
+    model.py:291-304 + distributions.py:59-74).
+    """
+    num_actions: int
+    hidden_size: int = 512
+    recurrent: bool = False
+
+    @nn.compact
+    def __call__(self, x, h=None, mask=None):
+        relu_gain = math.sqrt(2.0)
+        trunk_init = nn.initializers.orthogonal(relu_gain)
+        x = ConvTrunk(kernel_init=trunk_init)(_to_nhwc(x))
+        x = nn.relu(nn.Dense(self.hidden_size, kernel_init=trunk_init,
+                             bias_init=nn.initializers.zeros)(x))
+        if self.recurrent:
+            if h is None or mask is None:
+                raise ValueError("recurrent PolicyNet needs (h, mask)")
+            x, h = GRUCore(hidden_size=self.hidden_size)(x, h, mask)
+        value = nn.Dense(1, kernel_init=nn.initializers.orthogonal(1.0),
+                         bias_init=nn.initializers.zeros)(x)[..., 0]
+        logits = nn.Dense(self.num_actions,
+                          kernel_init=nn.initializers.orthogonal(0.01),
+                          bias_init=nn.initializers.zeros)(x)
+        return logits, value, h
+
+
+class MLPBase(nn.Module):
+    """2x64 tanh actor/critic MLP (model.py:317-348)."""
+    num_actions: int
+    hidden_size: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.orthogonal(math.sqrt(2.0))
+        a = x
+        for _ in range(2):
+            a = jnp.tanh(nn.Dense(self.hidden_size, kernel_init=init)(a))
+        c = x
+        for _ in range(2):
+            c = jnp.tanh(nn.Dense(self.hidden_size, kernel_init=init)(c))
+        value = nn.Dense(1, kernel_init=nn.initializers.orthogonal(1.0))(c)
+        logits = nn.Dense(self.num_actions,
+                          kernel_init=nn.initializers.orthogonal(0.01))(a)
+        return logits, value[..., 0]
+
+
+def masked_dist(logits: jnp.ndarray, legal: jnp.ndarray) -> MaskedCategorical:
+    return MaskedCategorical(logits=logits, mask=legal)

@@ -124,3 +124,58 @@ class SpecGame:
             else:
                 reward = float(self.winner * mover)
         return self.observation(), reward, self.terminated
+
+
+# ---------------------------------------------------------------------------
+# Scripted-policy oracles (clean-room re-statements of simple_policies.py).
+# ---------------------------------------------------------------------------
+
+def spec_greedy_action(game: SpecGame) -> int:
+    """GreedyPolicy oracle: argmax over own disk count after each legal move,
+    first occurrence wins ties (simple_policies.py:69-92)."""
+    best_cnt, best_move = -1, None
+    for move in game.legal:
+        child = SpecGame(game.size, game.sudden_death,
+                         game.num_disk_as_reward)
+        child.board = game.board.copy()
+        child.turn = game.turn
+        child.legal = child._legal_moves(child.turn)
+        child.step(move)
+        w, b = child.count()
+        cnt = w if game.turn == WHITE else b
+        if cnt > best_cnt:
+            best_cnt, best_move = cnt, move
+    return best_move
+
+
+def _spec_search(game: SpecGame, depth: int, persp: int, me: int,
+                 depth_max: int):
+    """MaxiMinPolicy.search oracle, including the reference's forced-pass
+    quirk (simple_policies.py:111-155)."""
+    if game.terminated or depth >= depth_max or len(game.legal) == 0:
+        w, b = game.count()
+        return (w if me == WHITE else b), None
+    vals = []
+    for move in game.legal:
+        child = SpecGame(game.size, game.sudden_death,
+                         game.num_disk_as_reward)
+        child.board = game.board.copy()
+        child.turn = persp
+        child.legal = child._legal_moves(persp)
+        child.step(move)
+        if not child.terminated and child.turn == persp:
+            # Other side had no moves: reference forces its (empty) turn.
+            child.turn = -persp
+            child.legal = child._legal_moves(-persp)
+        v, _ = _spec_search(child, depth + 1, -persp, me, depth_max)
+        vals.append(v)
+    if persp == me:
+        ix = vals.index(max(vals))
+    else:
+        ix = vals.index(min(vals))
+    return vals[ix], game.legal[ix]
+
+
+def spec_maximin_action(game: SpecGame, depth_max: int) -> int:
+    _, move = _spec_search(game, 0, game.turn, game.turn, depth_max)
+    return move
