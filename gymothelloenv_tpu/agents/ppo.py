@@ -1,0 +1,180 @@
+"""PPO with GAE — the TPU-native rebuild of the vendored update rule
+(a2c_ppo_acktr/algo/ppo.py:34-110 + storage.py:73-112).
+
+Everything runs on device: GAE is a reverse ``lax.scan``; the K-epoch
+minibatch loop is a ``lax.scan`` over permuted index blocks; gradients flow
+through a ``MaskedCategorical`` instead of the reference's per-env Python
+choice loops.  For multi-chip data parallelism the same functions run under
+``shard_map``/``pjit`` with batch-sharded rollouts (see parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from gymothelloenv_tpu.models.distributions import MaskedCategorical
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Hyperparameters; defaults are the flagship trainer's hard-coded
+    overrides (ppo_run_self_play.py:59-70) over get_args() defaults
+    (arguments.py:6-161)."""
+    lr: float = 1e-5
+    adam_eps: float = 1e-5
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_param: float = 0.1
+    ppo_epochs: int = 4
+    num_mini_batch: int = 4
+    value_loss_coef: float = 0.5
+    entropy_coef: float = 0.0
+    max_grad_norm: float = 0.5
+    use_clipped_value_loss: bool = True
+    # Linear LR decay over the expected update count
+    # (utils.update_linear_schedule semantics).
+    use_linear_lr_decay: bool = True
+    num_updates: int = 10000
+
+
+@struct.dataclass
+class Transition:
+    """One rollout slot, shapes (T, N, ...) after the collection scan."""
+    obs: jnp.ndarray      # (..., C, B, B) float32 featurized state
+    action: jnp.ndarray   # int32
+    logp: jnp.ndarray     # float32 behaviour log-prob
+    value: jnp.ndarray    # float32 behaviour value estimate
+    reward: jnp.ndarray   # float32
+    done: jnp.ndarray     # bool — episode ended with this transition
+    legal: jnp.ndarray    # bool (..., A) legal mask at sample time
+
+
+def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+    if cfg.use_linear_lr_decay:
+        schedule = optax.linear_schedule(
+            init_value=cfg.lr, end_value=0.0,
+            transition_steps=cfg.num_updates * cfg.ppo_epochs
+            * cfg.num_mini_batch)
+    else:
+        schedule = cfg.lr
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(schedule, eps=cfg.adam_eps),
+    )
+
+
+def compute_gae(rollout: Transition, bootstrap_value: jnp.ndarray,
+                cfg: PPOConfig):
+    """Returns (advantages, returns), both (T, N).
+
+    Matches storage.py:99-112 (``use_proper_time_limits=False`` — the
+    flagship's setting; this trainer has no time limits, so ``bad_masks``
+    are always 1 and the proper-time-limit variant is identical).
+    ``mask_{t+1} = 1 - done_t`` since ``done`` marks the transition that
+    ended its episode.
+    """
+    next_values = jnp.concatenate(
+        [rollout.value[1:], bootstrap_value[None]], axis=0)
+    next_mask = 1.0 - rollout.done.astype(jnp.float32)
+    deltas = (rollout.reward + cfg.gamma * next_values * next_mask
+              - rollout.value)
+
+    def body(gae, inp):
+        delta, mask = inp
+        gae = delta + cfg.gamma * cfg.gae_lambda * mask * gae
+        return gae, gae
+
+    _, adv = jax.lax.scan(body, jnp.zeros_like(bootstrap_value),
+                          (deltas, next_mask), reverse=True)
+    return adv, adv + rollout.value
+
+
+def ppo_loss(params, apply_fn: Callable, batch: Transition,
+             advantages: jnp.ndarray, returns: jnp.ndarray,
+             cfg: PPOConfig):
+    """Clipped-surrogate PPO loss on a flat minibatch
+    (algo/ppo.py:50-104)."""
+    logits, values, _ = apply_fn(params, batch.obs)
+    dist = MaskedCategorical(logits=logits, mask=batch.legal)
+    logp = dist.log_prob(batch.action)
+
+    ratio = jnp.exp(logp - batch.logp)
+    surr1 = ratio * advantages
+    surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param,
+                     1.0 + cfg.clip_param) * advantages
+    action_loss = -jnp.minimum(surr1, surr2).mean()
+
+    if cfg.use_clipped_value_loss:
+        value_clipped = batch.value + jnp.clip(
+            values - batch.value, -cfg.clip_param, cfg.clip_param)
+        value_loss = 0.5 * jnp.maximum(
+            (values - returns) ** 2, (value_clipped - returns) ** 2).mean()
+    else:
+        value_loss = 0.5 * ((returns - values) ** 2).mean()
+
+    # Reference entropy bonus uses the UNMASKED softmax entropy
+    # (model.py:178-179).
+    entropy = dist.entropy_full().mean()
+
+    total = (value_loss * cfg.value_loss_coef + action_loss
+             - entropy * cfg.entropy_coef)
+    return total, {"value_loss": value_loss, "action_loss": action_loss,
+                   "entropy": entropy}
+
+
+def ppo_update(params, opt_state, rollout: Transition,
+               bootstrap_value: jnp.ndarray, key: jax.Array,
+               apply_fn: Callable, optimizer: optax.GradientTransformation,
+               cfg: PPOConfig, grad_reduce: Callable | None = None):
+    """One full PPO update: GAE + advantage normalization + K epochs of
+    shuffled minibatches (algo/ppo.py:34-110).
+
+    ``grad_reduce`` (e.g. ``lambda g: lax.pmean(g, 'data')``) hooks in
+    multi-chip gradient reduction when run under shard_map.
+    Returns (params, opt_state, metrics).
+    """
+    adv, returns = compute_gae(rollout, bootstrap_value, cfg)
+    adv = (adv - adv.mean()) / (adv.std() + 1e-5)
+
+    T, N = rollout.reward.shape
+    batch_size = T * N
+    mb_size = batch_size // cfg.num_mini_batch
+
+    flat = jax.tree.map(
+        lambda x: x.reshape((batch_size,) + x.shape[2:]), rollout)
+    flat_adv = adv.reshape(-1)
+    flat_ret = returns.reshape(-1)
+
+    def epoch(carry, epoch_key):
+        params, opt_state = carry
+        perm = jax.random.permutation(epoch_key, batch_size)
+
+        def minibatch(carry, mb_idx):
+            params, opt_state = carry
+            idx = jax.lax.dynamic_slice_in_dim(perm, mb_idx * mb_size,
+                                               mb_size)
+            mb = jax.tree.map(lambda x: x[idx], flat)
+            grads, metrics = jax.grad(ppo_loss, has_aux=True)(
+                params, apply_fn, mb, flat_adv[idx], flat_ret[idx], cfg)
+            if grad_reduce is not None:
+                grads = grad_reduce(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            minibatch, (params, opt_state),
+            jnp.arange(cfg.num_mini_batch))
+        return (params, opt_state), metrics
+
+    (params, opt_state), metrics = jax.lax.scan(
+        epoch, (params, opt_state),
+        jax.random.split(key, cfg.ppo_epochs))
+    metrics = jax.tree.map(lambda m: m.mean(), metrics)
+    return params, opt_state, metrics

@@ -1,0 +1,78 @@
+"""PPO self-play training CLI — the rebuild of ``ppo_run_self_play.py``.
+
+Usage:
+    python -m gymothelloenv_tpu.cli.ppo_self_play --num-updates 1000 \
+        --num-envs 256 --checkpoint data/selfplay/ppo.msgpack
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from gymothelloenv_tpu.agents.ppo import PPOConfig
+from gymothelloenv_tpu.core.state import EnvConfig
+from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
+                                                 SelfPlayConfig)
+from gymothelloenv_tpu.utils.logging import MetricsLogger
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--board-size", type=int, default=8)
+    parser.add_argument("--num-envs", type=int, default=256)
+    parser.add_argument("--num-steps", type=int, default=64)
+    parser.add_argument("--num-updates", type=int, default=1000)
+    parser.add_argument("--lr", type=float, default=1e-5)
+    parser.add_argument("--clip-param", type=float, default=0.1)
+    parser.add_argument("--entropy-coef", type=float, default=0.0)
+    parser.add_argument("--gamma", type=float, default=0.99)
+    parser.add_argument("--gae-lambda", type=float, default=0.95)
+    parser.add_argument("--ppo-epochs", type=int, default=4)
+    parser.add_argument("--num-mini-batch", type=int, default=4)
+    parser.add_argument("--no-linear-lr-decay", action="store_true")
+    parser.add_argument("--init-rand-steps", type=int, default=0)
+    parser.add_argument("--test-init-rand-steps", type=int, default=10)
+    parser.add_argument("--num-test-games", type=int, default=200)
+    parser.add_argument("--test-interval", type=int, default=100)
+    parser.add_argument("--save-interval", type=int, default=500)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--checkpoint", type=str, default="")
+    parser.add_argument("--load", type=str, default="")
+    parser.add_argument("--log-dir", type=str, default="")
+    parser.add_argument("--log-every", type=int, default=10)
+    args, _ = parser.parse_known_args(argv)
+
+    env_cfg = EnvConfig(board_size=args.board_size, num_disk_as_reward=True)
+    ppo_cfg = PPOConfig(
+        lr=args.lr, clip_param=args.clip_param,
+        entropy_coef=args.entropy_coef, gamma=args.gamma,
+        gae_lambda=args.gae_lambda, ppo_epochs=args.ppo_epochs,
+        num_mini_batch=args.num_mini_batch,
+        use_linear_lr_decay=not args.no_linear_lr_decay,
+        num_updates=args.num_updates)
+    run_cfg = SelfPlayConfig(
+        num_envs=args.num_envs, num_steps=args.num_steps,
+        init_rand_steps=args.init_rand_steps,
+        test_init_rand_steps=args.test_init_rand_steps,
+        num_test_games=args.num_test_games,
+        test_interval=args.test_interval,
+        save_interval=args.save_interval, seed=args.seed)
+
+    logger = MetricsLogger(args.log_dir) if args.log_dir else None
+    trainer = PPOSelfPlayTrainer(
+        env_cfg=env_cfg, ppo_cfg=ppo_cfg, run_cfg=run_cfg,
+        log_fn=logger.log if logger else None)
+    if args.load:
+        trainer.load(args.load)
+        print(f"resumed from {args.load} at update {trainer.update_count}")
+
+    print(f"devices: {jax.devices()}")
+    trainer.train(args.num_updates, log_every=args.log_every,
+                  checkpoint_path=args.checkpoint or None)
+    print("final eval:", trainer.evaluate())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Mesh/sharding utilities — the TPU-native replacement for the reference's
+parallel substrate (8 ``mp.Process`` env workers + a single-device learner,
+envs.py:19-25): here the game batch is sharded over the ``data`` mesh axis,
+parameters are replicated (or tensor-sharded over ``model``), and XLA/GSPMD
+inserts the ICI collectives that the reference's pipe protocol approximated
+in Python.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None,
+              axis_names: Sequence[str] = ("data", "model"),
+              model_parallel: int = 1) -> Mesh:
+    """Mesh over the first ``n_devices`` devices, shaped
+    (n//model_parallel, model_parallel)."""
+    devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by "
+                         f"model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names)
+
+
+# Tensor-parallel partition rules for PolicyNet: the 512-wide fc + heads are
+# the only layers with enough width to shard; conv trunk stays replicated.
+_POLICY_TP_RULES = (
+    (r"Dense_0/kernel$", P(None, "model")),   # fc 256->512
+    (r"Dense_0/bias$", P("model")),
+    (r"Dense_1/kernel$", P("model", None)),   # critic 512->1
+    (r"Dense_2/kernel$", P("model", None)),   # categorical head 512->A
+)
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path)
+
+
+def policy_param_shardings(mesh: Mesh, params):
+    """NamedSharding pytree for PolicyNet params: tensor-parallel over
+    'model' where a rule matches, replicated otherwise."""
+    def assign(path, leaf):
+        name = _path_str(path)
+        for pattern, spec in _POLICY_TP_RULES:
+            if re.search(pattern, name) and "model" in mesh.axis_names:
+                if mesh.shape["model"] > 1:
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis: int = 0):
+    """Shard the given array axis over 'data'."""
+    def make(leaf_ndim: int):
+        spec = [None] * leaf_ndim
+        spec[axis] = "data"
+        return P(*spec)
+    return make
+
+
+def _batch_spec(leaf, axis: int, batch_size: int | None):
+    """P(...) sharding ``axis`` over 'data' — but only for leaves that
+    actually carry the batch dimension there (scalar carries like the scan
+    PRNG key replicate)."""
+    if leaf.ndim <= axis:
+        return P()
+    if batch_size is not None and leaf.shape[axis] != batch_size:
+        return P()
+    spec = [None] * leaf.ndim
+    spec[axis] = "data"
+    return P(*spec)
+
+
+def shard_batch_tree(mesh: Mesh, tree, axis: int = 0,
+                     batch_size: int | None = None):
+    """NamedSharding pytree sharding every batch-carrying leaf's ``axis``
+    over 'data'."""
+    return jax.tree.map(
+        lambda leaf: NamedSharding(mesh, _batch_spec(leaf, axis,
+                                                     batch_size)), tree)
+
+
+def constrain_batch(tree, mesh: Mesh, axis: int = 0,
+                    batch_size: int | None = None):
+    """with_sharding_constraint variant of :func:`shard_batch_tree`."""
+    return jax.tree.map(
+        lambda leaf: jax.lax.with_sharding_constraint(
+            leaf, NamedSharding(mesh, _batch_spec(leaf, axis, batch_size))),
+        tree)

@@ -1,0 +1,197 @@
+"""PPO self-play trainer assembly: jitted train/eval steps, metrics,
+checkpoints — the end-to-end equivalent of ``ppo_run_self_play.test()``
+(ppo_run_self_play.py:41-241) on one or many TPU chips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gymothelloenv_tpu.agents.ppo import (PPOConfig, make_optimizer,
+                                          ppo_update)
+from gymothelloenv_tpu.core.featurize import make_state
+from gymothelloenv_tpu.core.state import EnvConfig
+from gymothelloenv_tpu.models.distributions import MaskedCategorical
+from gymothelloenv_tpu.models.nets import PolicyNet
+from gymothelloenv_tpu.policies.scripted import (greedy_policy,
+                                                 random_policy)
+from gymothelloenv_tpu.train.self_play import (collect_rollout,
+                                               selfplay_init)
+from gymothelloenv_tpu.train.tournament import play_games_impl
+from gymothelloenv_tpu.utils.checkpoint import (load_checkpoint,
+                                                save_checkpoint)
+
+
+@dataclasses.dataclass(frozen=True)
+class SelfPlayConfig:
+    """Trainer knobs; reference values in comments
+    (ppo_run_self_play.py:59-70, :41-56)."""
+    num_envs: int = 256            # reference: 8 worker processes
+    num_steps: int = 64            # rollout length T (args.num_steps)
+    init_rand_steps: int = 0       # env_init_rand_steps (train)
+    test_init_rand_steps: int = 10
+    num_test_games: int = 200
+    test_interval: int = 100       # in updates (reference: 500 episodes)
+    save_interval: int = 500
+    seed: int = 0
+
+
+def make_network(cfg: EnvConfig, recurrent: bool = False) -> PolicyNet:
+    return PolicyNet(num_actions=cfg.num_actions, recurrent=recurrent)
+
+
+def make_apply_fn(net: PolicyNet):
+    def apply_fn(params, obs):
+        return net.apply(params, obs)
+    return apply_fn
+
+
+def net_tournament_policy(params, apply_fn):
+    """Wrap the net as a tournament ``act(key, state)`` policy (sampling,
+    like ``Policy.act`` served over pipes in rule_base_game,
+    ppo_run_self_play.py:383-389)."""
+    def act(key, state):
+        obs = make_state(state)[None]
+        logits, _, _ = apply_fn(params, obs)
+        dist = MaskedCategorical(logits=logits[0], mask=state.legal)
+        return dist.sample(key)
+    return act
+
+
+class PPOSelfPlayTrainer:
+    def __init__(self, env_cfg: EnvConfig = None,
+                 ppo_cfg: PPOConfig = None,
+                 run_cfg: SelfPlayConfig = None,
+                 log_fn: Optional[Callable] = None):
+        self.env_cfg = env_cfg or EnvConfig(num_disk_as_reward=True)
+        self.ppo_cfg = ppo_cfg or PPOConfig()
+        self.run_cfg = run_cfg or SelfPlayConfig()
+        self.log_fn = log_fn
+
+        self.net = make_network(self.env_cfg)
+        self.apply_fn = make_apply_fn(self.net)
+        self.optimizer = make_optimizer(self.ppo_cfg)
+
+        key = jax.random.PRNGKey(self.run_cfg.seed)
+        self.key, k_init = jax.random.split(key)
+        dummy = jnp.zeros((1, 4, self.env_cfg.board_size,
+                           self.env_cfg.board_size))
+        self.params = self.net.init(k_init, dummy)
+        self.opt_state = self.optimizer.init(self.params)
+        self.update_count = 0
+        self.sp_state = None
+
+        env_cfg_ = self.env_cfg
+        ppo_cfg_ = self.ppo_cfg
+        run_cfg_ = self.run_cfg
+        apply_fn = self.apply_fn
+        optimizer = self.optimizer
+
+        def train_step(params, opt_state, sp_state, key):
+            sp_state, rollout, bootstrap = collect_rollout(
+                params, apply_fn, sp_state, env_cfg_, run_cfg_.num_steps,
+                run_cfg_.init_rand_steps)
+            params, opt_state, metrics = ppo_update(
+                params, opt_state, rollout, bootstrap, key, apply_fn,
+                optimizer, ppo_cfg_)
+            metrics = dict(metrics)
+            metrics["episode_return"] = (
+                rollout.reward.sum() / jnp.maximum(rollout.done.sum(), 1))
+            metrics["episodes"] = rollout.done.sum()
+            return params, opt_state, sp_state, metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+        def eval_step(params, key):
+            """Win rates vs rand & greedy, policy color randomized by
+            splitting games half/half (rule_base_game semantics,
+            ppo_run_self_play.py:371-441)."""
+            n = run_cfg_.num_test_games // 2
+            net_act = net_tournament_policy(params, apply_fn)
+            # Eval uses win/loss only; the eval env's disk rewards don't
+            # change the winner, so reuse the training EnvConfig.
+            results = {}
+            for name, opp in (("rand", random_policy),
+                              ("greedy", greedy_policy)):
+                key, k1, k2 = jax.random.split(key, 3)
+                w_as_black = play_games_impl(
+                    k1, env_cfg_, net_act, opp, n,
+                    run_cfg_.test_init_rand_steps)
+                w_as_white = play_games_impl(
+                    k2, env_cfg_, opp, net_act, n,
+                    run_cfg_.test_init_rand_steps)
+                wins = ((w_as_black == -1).sum()
+                        + (w_as_white == 1).sum())
+                results[name] = wins / (2 * n)
+            return results
+
+        self._eval_step = jax.jit(eval_step)
+
+    def ensure_initialized(self):
+        if self.sp_state is None:
+            self.key, k = jax.random.split(self.key)
+            self.sp_state = jax.jit(
+                selfplay_init, static_argnames=("apply_fn", "cfg",
+                                                "num_envs",
+                                                "init_rand_steps"))(
+                self.params, apply_fn=self.apply_fn, key=k,
+                cfg=self.env_cfg, num_envs=self.run_cfg.num_envs,
+                init_rand_steps=self.run_cfg.init_rand_steps)
+
+    def train(self, num_updates: int, log_every: int = 10,
+              checkpoint_path: str = None):
+        self.ensure_initialized()
+        t0 = time.time()
+        steps_done = 0
+        for u in range(num_updates):
+            self.key, k = jax.random.split(self.key)
+            self.params, self.opt_state, self.sp_state, metrics = \
+                self._train_step(self.params, self.opt_state,
+                                 self.sp_state, k)
+            self.update_count += 1
+            steps_done += self.run_cfg.num_steps * self.run_cfg.num_envs
+
+            if (u + 1) % log_every == 0 or u == num_updates - 1:
+                metrics = {k_: float(v) for k_, v in metrics.items()}
+                dt = time.time() - t0
+                metrics["transitions_per_sec"] = steps_done / dt
+                self._log(self.update_count, metrics)
+
+            if (self.update_count % self.run_cfg.test_interval == 0):
+                self.key, k = jax.random.split(self.key)
+                wins = {k_: float(v)
+                        for k_, v in self._eval_step(self.params, k).items()}
+                self._log(self.update_count,
+                          {f"win%({k_})": v for k_, v in wins.items()})
+
+            if checkpoint_path and (
+                    self.update_count % self.run_cfg.save_interval == 0):
+                self.save(checkpoint_path)
+        if checkpoint_path:
+            self.save(checkpoint_path)
+
+    def evaluate(self):
+        self.key, k = jax.random.split(self.key)
+        return {k_: float(v)
+                for k_, v in self._eval_step(self.params, k).items()}
+
+    def _log(self, step, metrics):
+        if self.log_fn:
+            self.log_fn(step, metrics)
+        else:
+            text = " ".join(f"{k}={v:.4g}" for k, v in metrics.items())
+            print(f"[update {step}] {text}", flush=True)
+
+    def save(self, path: str):
+        save_checkpoint(path, self.update_count, self.params,
+                        self.opt_state)
+
+    def load(self, path: str):
+        step, self.params, self.opt_state, _ = load_checkpoint(
+            path, self.params, self.opt_state)
+        self.update_count = step

@@ -32,18 +32,16 @@ def draw_max_rand_steps(key: jax.Array, init_rand_steps: int) -> jnp.ndarray:
                                   dtype=jnp.int32)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "act_black", "act_white",
-                                    "num_games", "init_rand_steps",
-                                    "max_plies"))
-def play_games(key: jax.Array,
-               cfg: EnvConfig,
-               act_black: PolicyFn,
-               act_white: PolicyFn,
-               num_games: int,
-               init_rand_steps: int = 0,
-               max_plies: int = 0) -> jnp.ndarray:
-    """Play ``num_games`` full games; returns winners int8 (num_games,)
+def play_games_impl(key: jax.Array,
+                    cfg: EnvConfig,
+                    act_black: PolicyFn,
+                    act_white: PolicyFn,
+                    num_games: int,
+                    init_rand_steps: int = 0,
+                    max_plies: int = 0) -> jnp.ndarray:
+    """Traceable body of :func:`play_games` — use this directly inside a
+    larger jitted program (e.g. a trainer's eval step, where the policy
+    closures capture traced params).  Returns winners int8 (num_games,)
     (+1 white, -1 black, 0 draw)."""
     if max_plies <= 0:
         # Enough for any legal game: <= B*B - 4 placements, plus the engine
@@ -87,6 +85,23 @@ def play_games(key: jax.Array,
     states, _, _, _ = jax.lax.while_loop(
         cond, body, (states, rand_left, key, jnp.int32(0)))
     return states.winner
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "act_black", "act_white",
+                                    "num_games", "init_rand_steps",
+                                    "max_plies"))
+def play_games(key: jax.Array,
+               cfg: EnvConfig,
+               act_black: PolicyFn,
+               act_white: PolicyFn,
+               num_games: int,
+               init_rand_steps: int = 0,
+               max_plies: int = 0) -> jnp.ndarray:
+    """Jitted :func:`play_games_impl` for standalone use with static
+    (non-closure) policies."""
+    return play_games_impl(key, cfg, act_black, act_white, num_games,
+                           init_rand_steps, max_plies)
 
 
 def tally(winners: jnp.ndarray):

@@ -1,0 +1,157 @@
+"""PPO agent tests: GAE vs the reference recurrence, masked-update learning,
+self-play rollout invariants, trainer smoke + checkpoint roundtrip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymothelloenv_tpu.agents.ppo import (PPOConfig, Transition,
+                                          compute_gae, make_optimizer,
+                                          ppo_update)
+from gymothelloenv_tpu.core.state import EnvConfig
+from gymothelloenv_tpu.models.nets import PolicyNet
+from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
+                                                 SelfPlayConfig,
+                                                 make_apply_fn,
+                                                 make_network)
+from gymothelloenv_tpu.train.self_play import collect_rollout, selfplay_init
+
+
+def _dummy_rollout(T, N, key):
+    ks = jax.random.split(key, 4)
+    return Transition(
+        obs=jnp.zeros((T, N, 4, 4, 4)),
+        action=jnp.zeros((T, N), jnp.int32),
+        logp=jnp.zeros((T, N)),
+        value=jax.random.normal(ks[0], (T, N)),
+        reward=jax.random.normal(ks[1], (T, N)),
+        done=jax.random.bernoulli(ks[2], 0.1, (T, N)),
+        legal=jnp.ones((T, N, 16), bool),
+    )
+
+
+def test_gae_matches_reference_recurrence():
+    """storage.py:99-112 (use_gae, no proper-time-limits) as a Python loop."""
+    cfg = PPOConfig(gamma=0.97, gae_lambda=0.9)
+    T, N = 12, 5
+    roll = _dummy_rollout(T, N, jax.random.PRNGKey(0))
+    bootstrap = jax.random.normal(jax.random.PRNGKey(9), (N,))
+
+    adv, ret = compute_gae(roll, bootstrap, cfg)
+
+    value = np.asarray(roll.value)
+    reward = np.asarray(roll.reward)
+    masks = 1.0 - np.asarray(roll.done).astype(np.float64)  # mask_{t+1}
+    next_value = np.concatenate([value[1:], np.asarray(bootstrap)[None]], 0)
+    gae = np.zeros(N)
+    want_ret = np.zeros((T, N))
+    for t in reversed(range(T)):
+        delta = reward[t] + cfg.gamma * next_value[t] * masks[t] - value[t]
+        gae = delta + cfg.gamma * cfg.gae_lambda * masks[t] * gae
+        want_ret[t] = gae + value[t]
+    np.testing.assert_allclose(np.asarray(ret), want_ret, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(adv), want_ret - value, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_ppo_update_increases_good_action_probability():
+    """Fabricated rollout: action 5 always gets reward 1, others 0.  After a
+    few updates the policy must prefer action 5."""
+    env_cfg = EnvConfig(board_size=4)
+    net = PolicyNet(num_actions=16)
+    apply_fn = make_apply_fn(net)
+    key = jax.random.PRNGKey(0)
+    obs = jax.random.normal(key, (8, 16, 4, 4, 4)) * 0.1
+    params = net.init(key, obs[0])
+    cfg = PPOConfig(lr=3e-3, num_updates=50, entropy_coef=0.0,
+                    use_linear_lr_decay=False, ppo_epochs=2,
+                    num_mini_batch=2)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+
+    legal = jnp.ones((8, 16, 16), bool)
+
+    def prob_of_5(params):
+        logits, _, _ = apply_fn(params, obs.reshape(-1, 4, 4, 4))
+        return float(jax.nn.softmax(logits, -1)[:, 5].mean())
+
+    p0 = prob_of_5(params)
+    upd = jax.jit(lambda p, o, r, k: ppo_update(
+        p, o, r, jnp.zeros(16), k, apply_fn, optimizer, cfg))
+    for i in range(30):
+        key, k_act, k_upd = jax.random.split(key, 3)
+        action = jax.random.randint(k_act, (8, 16), 0, 16)
+        logits, values, _ = apply_fn(params, obs.reshape(-1, 4, 4, 4))
+        logp_all = jax.nn.log_softmax(logits, -1).reshape(8, 16, 16)
+        roll = Transition(
+            obs=obs, action=action,
+            logp=jnp.take_along_axis(logp_all, action[..., None],
+                                     -1)[..., 0],
+            value=values.reshape(8, 16),
+            reward=(action == 5).astype(jnp.float32),
+            done=jnp.ones((8, 16), bool),
+            legal=legal)
+        params, opt_state, _ = upd(params, opt_state, roll, k_upd)
+    p1 = prob_of_5(params)
+    # Clipping (0.1) bounds per-round movement; 30 rounds must still raise
+    # the good action's probability well above uniform 1/16.
+    assert p1 > p0 + 0.04, (p0, p1)
+
+
+def test_selfplay_rollout_invariants():
+    env_cfg = EnvConfig(num_disk_as_reward=True)
+    net = make_network(env_cfg)
+    apply_fn = make_apply_fn(net)
+    key = jax.random.PRNGKey(0)
+    params = net.init(key, jnp.zeros((1, 4, 8, 8)))
+    sp = selfplay_init(params, apply_fn, key, env_cfg, num_envs=16)
+    sp, roll, bootstrap = jax.jit(
+        collect_rollout, static_argnames=("apply_fn", "cfg", "num_steps",
+                                          "init_rand_steps"))(
+        params, apply_fn=apply_fn, sp=sp, cfg=env_cfg, num_steps=40)
+
+    obs = np.asarray(roll.obs)          # (T, N, 4, 8, 8)
+    action = np.asarray(roll.action)
+    legal = np.asarray(roll.legal)
+    reward = np.asarray(roll.reward)
+    done = np.asarray(roll.done)
+
+    T, N = action.shape
+    # Every recorded action was legal at its decision point.
+    assert legal[np.arange(T)[:, None], np.arange(N)[None, :],
+                 action].all()
+    # Rewards only on episode-ending transitions, and they are disk diffs.
+    assert (reward[~done] == 0).all()
+    assert done.sum() > 0
+    ended = reward[done]
+    assert np.abs(ended).max() <= 64 and (ended == ended.astype(int)).all()
+    # Disk-diff outcomes of full games are even (64 disks split W/B) unless
+    # a wipeout bonus fired.
+    # The turn plane of every decision obs equals the protagonist's color
+    # seen by that game at that time (turn == pcolor at decision points).
+    turn_plane = obs[:, :, 2, 0, 0]
+    assert set(np.unique(turn_plane).tolist()) <= {0.0, 1.0}
+    assert bootstrap.shape == (N,)
+
+
+def test_trainer_smoke_and_checkpoint(tmp_path):
+    tr = PPOSelfPlayTrainer(
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        ppo_cfg=PPOConfig(num_updates=4),
+        run_cfg=SelfPlayConfig(num_envs=8, num_steps=8, test_interval=1000))
+    tr.train(num_updates=2, log_every=100)
+    path = os.path.join(tmp_path, "ck.msgpack")
+    tr.save(path)
+
+    tr2 = PPOSelfPlayTrainer(
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        ppo_cfg=PPOConfig(num_updates=4),
+        run_cfg=SelfPlayConfig(num_envs=8, num_steps=8, test_interval=1000))
+    tr2.load(path)
+    assert tr2.update_count == tr.update_count
+    p1 = jax.tree.leaves(tr.params)
+    p2 = jax.tree.leaves(tr2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
