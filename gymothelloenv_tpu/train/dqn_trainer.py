@@ -1,0 +1,438 @@
+"""DQN self-play / vs-scripted trainer — the TPU-native rebuild of the
+``run_2agent.py`` training loop driving ``DQNAgent`` (dqn.py).
+
+Collection follows run_2agent.py:118-160: at a color's decision point the
+color's previous (state, action) pair is emitted as a transition whose
+next-state is the current decision state (reward 0); at termination both
+colors' outstanding pairs are emitted with the terminal outcome from each
+color's perspective and next-state = terminal board.  Transitions pass
+through the n-step FIFO (dqn.py:288-350) into the on-device replay, and
+minibatch updates run at the reference's 1-update-per-4-transitions ratio
+(train_interval, dqn.py:353-354), chunked: T plies are collected per jitted
+program, then the matching number of updates runs — same data/update ratio,
+coarser interleaving (documented divergence).
+
+Modes: shared self-play (both colors learn into one agent — the batched
+generalization of DQN-vs-DQN run_2agent) or protagonist-vs-scripted
+(random/greedy opponent, protagonist color randomized per episode like
+run_2agent.py:94-97).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gymothelloenv_tpu.agents.dqn import (DQNConfig, DQNState, dqn_act,
+                                          dqn_init, dqn_train_batch,
+                                          epsilon_at, featurize3,
+                                          greedy_legal_action,
+                                          make_dqn_net, make_dqn_optimizer,
+                                          maybe_sync_target)
+from gymothelloenv_tpu.agents.nstep import NStepFifo, nstep_init, nstep_push
+from gymothelloenv_tpu.agents.replay import (Replay, ReplayConfig,
+                                             replay_init, replay_insert)
+from gymothelloenv_tpu.core import state as core
+from gymothelloenv_tpu.core.state import EnvConfig, OthelloState
+from gymothelloenv_tpu.policies.scripted import (greedy_action,
+                                                 random_action)
+from gymothelloenv_tpu.train.self_play import outcome_for
+from gymothelloenv_tpu.train.tournament import (draw_max_rand_steps,
+                                                play_games_impl)
+from gymothelloenv_tpu.utils.checkpoint import (load_checkpoint,
+                                                save_checkpoint)
+
+
+@dataclasses.dataclass(frozen=True)
+class DQNRunConfig:
+    num_envs: int = 128
+    chunk_plies: int = 64          # plies collected per jitted chunk
+    opponent: Optional[str] = None  # None=self-play | 'rand' | 'greedy'
+    init_rand_steps: int = 0
+    test_init_rand_steps: int = 10
+    num_test_games: int = 200
+    test_interval: int = 50        # chunks
+    save_interval: int = 200
+    seed: int = 0
+
+
+@struct.dataclass
+class PendingPair:
+    """Per color (leading dim 2: [black, white]) the outstanding
+    (state, action) pair awaiting its next-state."""
+    board: jnp.ndarray    # int8 (2, N, B, B)
+    turn: jnp.ndarray     # int8 (2, N)
+    action: jnp.ndarray   # int32 (2, N)
+    valid: jnp.ndarray    # bool (2, N)
+
+
+@struct.dataclass
+class DQNRollState:
+    env: OthelloState
+    rand_left: jnp.ndarray
+    env_keys: jnp.ndarray
+    pcolor: jnp.ndarray           # int8 (N,) protagonist color (vs-scripted)
+    pending: PendingPair
+    fifo: NStepFifo               # 2N streams: black envs then white envs
+
+
+def _split_keys(keys):
+    both = jax.vmap(jax.random.split)(keys)
+    return both[:, 0], both[:, 1]
+
+
+class DQNTrainer:
+    def __init__(self, env_cfg: EnvConfig = None,
+                 dqn_cfg: DQNConfig = None,
+                 rb_cfg: ReplayConfig = None,
+                 run_cfg: DQNRunConfig = None,
+                 log_fn=None):
+        self.env_cfg = env_cfg or EnvConfig(num_disk_as_reward=True)
+        self.dqn_cfg = dqn_cfg or DQNConfig(
+            board_size=self.env_cfg.board_size)
+        self.rb_cfg = rb_cfg or ReplayConfig(
+            board_size=self.env_cfg.board_size)
+        self.run_cfg = run_cfg or DQNRunConfig()
+        self.log_fn = log_fn
+
+        net = make_dqn_net(self.dqn_cfg)
+        self.apply_fn = lambda params, x: net.apply(params, x)
+        self.optimizer = make_dqn_optimizer(self.dqn_cfg)
+
+        self.key = jax.random.PRNGKey(self.run_cfg.seed)
+        self.key, k = jax.random.split(self.key)
+        self.agent = dqn_init(self.dqn_cfg, k)
+        self.replay = replay_init(self.rb_cfg)
+        self.roll: DQNRollState = None
+        self.chunk_count = 0
+
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        env_cfg = self.env_cfg
+        dqn_cfg = self.dqn_cfg
+        rb_cfg = self.rb_cfg
+        run_cfg = self.run_cfg
+        apply_fn = self.apply_fn
+        optimizer = self.optimizer
+        N = run_cfg.num_envs
+        B = env_cfg.board_size
+        n_step = dqn_cfg.n_step
+        selfplay = run_cfg.opponent is None
+        opponent = run_cfg.opponent
+
+        def init_roll(key):
+            key, k_env, k_color, k_rand = jax.random.split(key, 4)
+            env = jax.vmap(lambda _: core.reset(env_cfg))(jnp.arange(N))
+            rand_left = jax.vmap(draw_max_rand_steps, in_axes=(0, None))(
+                jax.random.split(k_rand, N), run_cfg.init_rand_steps)
+            pcolor = (jax.random.randint(k_color, (N,), 0, 2) * 2
+                      - 1).astype(jnp.int8)
+            empty = PendingPair(
+                board=jnp.zeros((2, N, B, B), jnp.int8),
+                turn=jnp.zeros((2, N), jnp.int8),
+                action=jnp.zeros((2, N), jnp.int32),
+                valid=jnp.zeros((2, N), bool))
+            return DQNRollState(
+                env=env, rand_left=rand_left,
+                env_keys=jax.random.split(k_env, N), pcolor=pcolor,
+                pending=empty, fifo=nstep_init(n_step, 2 * N, B))
+
+        self._init_roll = jax.jit(init_roll)
+
+        def learner_mask(roll, c_val):
+            if selfplay:
+                return jnp.ones((N,), bool)
+            return roll.pcolor == c_val
+
+        def scripted_act(env, keys):
+            if opponent == "rand":
+                return jax.vmap(random_action)(keys, env.legal)
+            if opponent == "greedy":
+                return jax.vmap(greedy_action)(env)
+            raise ValueError(opponent)
+
+        def push_color(fifo, c_idx, pending, mask, reward, done_flag,
+                       next_board, next_turn):
+            """Push color c_idx's pendings (masked) into its stream half;
+            returns (fifo, emitted over 2N streams)."""
+            do = jnp.zeros((2 * N,), bool).at[
+                c_idx * N:(c_idx + 1) * N].set(mask)
+
+            def full(x):
+                pad = jnp.zeros_like(x)
+                parts = [x, pad] if c_idx == 0 else [pad, x]
+                return jnp.concatenate(parts)
+
+            return nstep_push(
+                fifo, dqn_cfg.gamma,
+                full(pending.board[c_idx]), full(pending.turn[c_idx]),
+                full(pending.action[c_idx]), full(reward),
+                full(next_board), full(next_turn),
+                full(done_flag), do)
+
+        def make_ply(params, eps):
+            def ply(carry, _):
+                roll, key = carry
+                key, k_act, k_opp = jax.random.split(key, 3)
+                env = roll.env
+                live = ~env.terminated
+                fifo = roll.fifo
+                pending = roll.pending
+                ems = []
+
+                # 1. pre-action emission for the mover's color.
+                for c_idx, c_val in ((0, -1), (1, 1)):
+                    mask = (live & (env.turn == c_val)
+                            & pending.valid[c_idx]
+                            & learner_mask(roll, c_val))
+                    fifo, em = push_color(
+                        fifo, c_idx, pending, mask,
+                        jnp.zeros((N,)), jnp.zeros((N,), bool),
+                        env.board, env.turn)
+                    ems.append(em)
+                    pending = pending.replace(
+                        valid=pending.valid.at[c_idx].set(
+                            pending.valid[c_idx] & ~mask))
+
+                # 2. mover acts (epsilon-greedy learner / scripted).
+                learner_actions = dqn_act(params, apply_fn, env.board,
+                                          env.turn, env.legal, k_act, eps)
+                if selfplay:
+                    actions = learner_actions
+                else:
+                    scripted = scripted_act(env, jax.random.split(k_opp, N))
+                    actions = jnp.where(env.turn == roll.pcolor,
+                                        learner_actions, scripted)
+
+                for c_idx, c_val in ((0, -1), (1, 1)):
+                    mask = live & (env.turn == c_val) & learner_mask(
+                        roll, c_val)
+                    pending = PendingPair(
+                        board=pending.board.at[c_idx].set(
+                            jnp.where(mask[:, None, None], env.board,
+                                      pending.board[c_idx])),
+                        turn=pending.turn.at[c_idx].set(
+                            jnp.where(mask, env.turn,
+                                      pending.turn[c_idx])),
+                        action=pending.action.at[c_idx].set(
+                            jnp.where(mask, actions,
+                                      pending.action[c_idx])),
+                        valid=pending.valid.at[c_idx].set(
+                            pending.valid[c_idx] | mask))
+
+                # 3. step live games with the random-opening override.
+                env_keys, sub = _split_keys(roll.env_keys)
+
+                def one(k_rand, state, rleft, action, do):
+                    use_rand = (rleft > 0) & do
+                    exec_a = jnp.where(
+                        use_rand, random_action(k_rand, state.legal),
+                        action)
+                    res = core.step(state, exec_a, env_cfg)
+                    new_state = jax.tree.map(
+                        lambda nw, od: jnp.where(do, nw, od),
+                        res.state, state)
+                    return new_state, jnp.where(use_rand, rleft - 1, rleft)
+
+                env, rand_left = jax.vmap(one)(sub, env, roll.rand_left,
+                                               actions, live)
+
+                # 4. terminal emissions for both colors.
+                term_now = env.terminated & live
+                for c_idx, c_val in ((0, -1), (1, 1)):
+                    outcome = outcome_for(
+                        env.board, jnp.full((N,), c_val, jnp.int8),
+                        env_cfg)
+                    mask = (term_now & pending.valid[c_idx]
+                            & learner_mask(roll, c_val))
+                    fifo, em = push_color(
+                        fifo, c_idx, pending, mask,
+                        outcome * dqn_cfg.reward_scale,
+                        jnp.ones((N,), bool), env.board, env.turn)
+                    ems.append(em)
+                    pending = pending.replace(
+                        valid=pending.valid.at[c_idx].set(
+                            pending.valid[c_idx] & ~mask))
+
+                # 5. reset finished games.
+                env_keys, sub = _split_keys(env_keys)
+
+                def reset_one(key, state, rleft, pc, done):
+                    k_rand, k_color = jax.random.split(key)
+                    fresh = core.reset(env_cfg)
+                    new_state = jax.tree.map(
+                        lambda f, o: jnp.where(done, f, o), fresh, state)
+                    new_rleft = jnp.where(done, draw_max_rand_steps(
+                        k_rand, run_cfg.init_rand_steps), rleft)
+                    new_pc = jnp.where(
+                        done, (jax.random.randint(k_color, (), 0, 2) * 2
+                               - 1).astype(jnp.int8), pc)
+                    return new_state, new_rleft, new_pc
+
+                env, rand_left, pcolor = jax.vmap(reset_one)(
+                    sub, env, rand_left, roll.pcolor, term_now)
+
+                roll = DQNRollState(env=env, rand_left=rand_left,
+                                    env_keys=env_keys, pcolor=pcolor,
+                                    pending=pending, fifo=fifo)
+                emitted = jax.tree.map(lambda *xs: jnp.stack(xs), *ems)
+                return (roll, key), emitted
+            return ply
+
+        def train_chunk(agent: DQNState, replay: Replay,
+                        roll: DQNRollState, key):
+            key, k_collect, k_train = jax.random.split(key, 3)
+            eps = epsilon_at(dqn_cfg, agent.t)
+            (roll, _), em = jax.lax.scan(
+                make_ply(agent.params, eps), (roll, k_collect), None,
+                length=run_cfg.chunk_plies)
+
+            # Flatten (T, 4, n, 2N, ...) emission slots -> (K, ...).
+            def flat(x):
+                return x.reshape((-1,) + x.shape[4:])
+
+            valid = flat(em.valid)
+            replay = replay_insert(
+                replay, rb_cfg, flat(em.board), flat(em.turn),
+                flat(em.action), flat(em.reward), flat(em.next_board),
+                flat(em.next_turn), flat(em.done), valid)
+            t_old = agent.t
+            agent = agent.replace(
+                t=agent.t + valid.sum(dtype=jnp.int32))
+
+            # Updates at the reference's 1-per-train_interval-transitions
+            # ratio; ~1 learner transition per ply per learning color.
+            per_ply = 2 if selfplay else 1
+            updates = max(1, (run_cfg.chunk_plies * N * per_ply)
+                          // (2 * dqn_cfg.train_interval))
+            do_train = agent.t >= dqn_cfg.initial_replay_size
+
+            def body(carry, k):
+                agent, replay = carry
+
+                def run(_):
+                    return dqn_train_batch(agent, replay, dqn_cfg, rb_cfg,
+                                           apply_fn, optimizer, k)
+
+                def skip(_):
+                    return agent, replay, jnp.float32(0.0)
+
+                agent2, replay2, loss = jax.lax.cond(do_train, run, skip,
+                                                     None)
+                return (agent2, replay2), loss
+
+            (agent, replay), losses = jax.lax.scan(
+                body, (agent, replay), jax.random.split(k_train, updates))
+
+            crossed = (agent.t // dqn_cfg.target_update_interval) != \
+                (t_old // dqn_cfg.target_update_interval)
+            agent = maybe_sync_target(agent, dqn_cfg, crossed)
+            metrics = {"loss": losses.mean(),
+                       "epsilon": epsilon_at(dqn_cfg, agent.t),
+                       "transitions": agent.t,
+                       "replay_size": replay.size}
+            return agent, replay, roll, metrics
+
+        self._train_chunk = jax.jit(train_chunk, donate_argnums=(0, 1, 2))
+
+        def rand_policy(key, state):
+            return random_action(key, state.legal)
+
+        def greedy_policy_fn(key, state):
+            del key
+            return greedy_action(state)
+
+        def eval_step(params, key):
+            """epsilon=0.05 greedy eval vs scripted, colors split half/half
+            (get_action_at_test, dqn.py:478-488)."""
+            def net_act(k, state):
+                k_eps, k_rand = jax.random.split(k)
+                q = apply_fn(params, featurize3(
+                    state.board, state.turn)[None])[0]
+                greedy = greedy_legal_action(q, state.legal)
+                rand = random_action(k_rand, state.legal)
+                explore = (jax.random.uniform(k_eps, ())
+                           < dqn_cfg.test_epsilon)
+                return jnp.where(explore, rand, greedy)
+
+            n = run_cfg.num_test_games // 2
+            results = {}
+            for name, opp in (("rand", rand_policy),
+                              ("greedy", greedy_policy_fn)):
+                key, k1, k2 = jax.random.split(key, 3)
+                as_black = play_games_impl(
+                    k1, env_cfg, net_act, opp, n,
+                    run_cfg.test_init_rand_steps)
+                as_white = play_games_impl(
+                    k2, env_cfg, opp, net_act, n,
+                    run_cfg.test_init_rand_steps)
+                results[name] = ((as_black == -1).sum()
+                                 + (as_white == 1).sum()) / (2 * n)
+            return results
+
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def ensure_initialized(self):
+        if self.roll is None:
+            self.key, k = jax.random.split(self.key)
+            self.roll = self._init_roll(k)
+
+    def train(self, num_chunks: int, log_every: int = 10,
+              checkpoint_path: str = None):
+        self.ensure_initialized()
+        t0 = time.time()
+        for c in range(num_chunks):
+            self.key, k = jax.random.split(self.key)
+            self.agent, self.replay, self.roll, metrics = \
+                self._train_chunk(self.agent, self.replay, self.roll, k)
+            self.chunk_count += 1
+            if (c + 1) % log_every == 0 or c == num_chunks - 1:
+                m = {k_: float(v) for k_, v in metrics.items()}
+                m["transitions_per_sec"] = float(metrics["transitions"]) \
+                    / (time.time() - t0 + 1e-9)
+                self._log(self.chunk_count, m)
+            if self.chunk_count % self.run_cfg.test_interval == 0:
+                self.key, k = jax.random.split(self.key)
+                wins = {k_: float(v) for k_, v in
+                        self._eval_step(self.agent.params, k).items()}
+                self._log(self.chunk_count,
+                          {f"win%({k_})": v for k_, v in wins.items()})
+            if checkpoint_path and \
+                    self.chunk_count % self.run_cfg.save_interval == 0:
+                self.save(checkpoint_path)
+        if checkpoint_path:
+            self.save(checkpoint_path)
+
+    def evaluate(self):
+        self.key, k = jax.random.split(self.key)
+        return {k_: float(v)
+                for k_, v in self._eval_step(self.agent.params, k).items()}
+
+    def _log(self, step, metrics):
+        if self.log_fn:
+            self.log_fn(step, metrics)
+        else:
+            text = " ".join(f"{k}={v:.4g}" for k, v in metrics.items())
+            print(f"[chunk {step}] {text}", flush=True)
+
+    def save(self, path: str):
+        save_checkpoint(path, self.chunk_count, self.agent.params,
+                        self.agent.opt_state,
+                        extra={"t": int(self.agent.t)})
+
+    def load(self, path: str):
+        step, params, opt_state, extra = load_checkpoint(
+            path, self.agent.params, self.agent.opt_state)
+        self.agent = self.agent.replace(
+            params=params,
+            target_params=jax.tree.map(jnp.copy, params),
+            opt_state=opt_state, t=jnp.int32(extra.get("t", 0)))
+        self.chunk_count = step
