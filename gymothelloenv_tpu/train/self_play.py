@@ -69,13 +69,20 @@ def _featurize_batch(env: OthelloState) -> jnp.ndarray:
 
 
 def _policy_sample(params, apply_fn: ApplyFn, env: OthelloState,
-                   keys: jnp.ndarray):
+                   keys: jnp.ndarray, logp_mode: str = "masked"):
+    """Sample masked actions; ``logp_mode`` picks which behaviour log-prob
+    is recorded: 'masked' (vendored Policy.act, model.py:60-90) or 'full'
+    (the simple PPO stores full-softmax log-probs, ppo.py:309-310)."""
     obs = _featurize_batch(env)
     logits, value, _ = apply_fn(params, obs)
     dist = MaskedCategorical(logits=logits, mask=env.legal)
     action = jax.vmap(lambda d_logits, d_mask, k: MaskedCategorical(
         logits=d_logits, mask=d_mask).sample(k))(logits, env.legal, keys)
-    logp = dist.log_prob(action)
+    if logp_mode == "full":
+        logp_all = jax.nn.log_softmax(logits, axis=-1)
+        logp = jnp.take_along_axis(logp_all, action[:, None], -1)[:, 0]
+    else:
+        logp = dist.log_prob(action)
     return obs, action, logp, value
 
 
@@ -165,13 +172,14 @@ def _reset_done(env: OthelloState, rand_left, pcolor, keys, done,
     return env, rand_left, pcolor, keys
 
 
-def _protagonist_act(params, apply_fn, env, rand_left, keys, cfg):
+def _protagonist_act(params, apply_fn, env, rand_left, keys, cfg,
+                     logp_mode: str = "masked"):
     """Phase C: sample the protagonist decision, step the env, return the
     new pending transition."""
     legal = env.legal
     keys, sample_keys = _split_each(keys)
     obs, action, logp, value = _policy_sample(params, apply_fn, env,
-                                              sample_keys)
+                                              sample_keys, logp_mode)
     num_envs = action.shape[0]
     env, rand_left, keys = _masked_step(
         env, rand_left, keys, action, jnp.ones((num_envs,), bool), cfg)
@@ -182,7 +190,8 @@ def _protagonist_act(params, apply_fn, env, rand_left, keys, cfg):
 
 def selfplay_init(params, apply_fn: ApplyFn, key: jax.Array,
                   cfg: EnvConfig, num_envs: int,
-                  init_rand_steps: int = 0) -> SelfPlayState:
+                  init_rand_steps: int = 0,
+                  logp_mode: str = "masked") -> SelfPlayState:
     """Fresh games + first protagonist decision (the initial pending)."""
     key, k_env, k_color, k_rand = jax.random.split(key, 4)
     env_keys = jax.random.split(k_env, num_envs)
@@ -195,14 +204,15 @@ def selfplay_init(params, apply_fn: ApplyFn, key: jax.Array,
     env, rand_left, env_keys = _advance_opponent(
         params, apply_fn, env, rand_left, env_keys, pcolor, cfg)
     env, rand_left, env_keys, pending = _protagonist_act(
-        params, apply_fn, env, rand_left, env_keys, cfg)
+        params, apply_fn, env, rand_left, env_keys, cfg, logp_mode)
     return SelfPlayState(env=env, rand_left=rand_left, pcolor=pcolor,
                          env_keys=env_keys, pending=pending, key=key)
 
 
 def collect_rollout(params, apply_fn: ApplyFn, sp: SelfPlayState,
                     cfg: EnvConfig, num_steps: int,
-                    init_rand_steps: int = 0):
+                    init_rand_steps: int = 0,
+                    logp_mode: str = "masked"):
     """Scan ``num_steps`` slots; returns (new_state, Transition (T, N, ...),
     bootstrap_value (N,)).
 
@@ -233,7 +243,7 @@ def collect_rollout(params, apply_fn: ApplyFn, sp: SelfPlayState,
 
         # Phase C: protagonist decision becomes the new pending.
         env, rand_left, env_keys, pending = _protagonist_act(
-            params, apply_fn, env, rand_left, env_keys, cfg)
+            params, apply_fn, env, rand_left, env_keys, cfg, logp_mode)
 
         return SelfPlayState(env=env, rand_left=rand_left, pcolor=pcolor,
                              env_keys=env_keys, pending=pending,
