@@ -95,32 +95,72 @@ def compute_gae(rollout: Transition, bootstrap_value: jnp.ndarray,
     return adv, adv + rollout.value
 
 
+def compute_gae_masked(rollout: Transition, weights: jnp.ndarray,
+                       bootstrap_value: jnp.ndarray, cfg: PPOConfig):
+    """GAE over streams with invalid (weight-0) slots.
+
+    Invalid slots are transparent: the recursion state and the
+    successor-value pass through them unchanged, so bubbles (e.g. game-
+    boundary gaps in teacher/student role streams) never contaminate the
+    advantages of real transitions.  Returns (advantages, returns) — only
+    meaningful where ``weights > 0``.
+    """
+    valid = weights > 0
+
+    def body(carry, inp):
+        gae, v_next = carry
+        r, v, d, ok = inp
+        not_done = 1.0 - d.astype(jnp.float32)
+        delta = r + cfg.gamma * v_next * not_done - v
+        new_gae = delta + cfg.gamma * cfg.gae_lambda * not_done * gae
+        gae = jnp.where(ok, new_gae, gae)
+        v_next = jnp.where(ok, v, v_next)
+        return (gae, v_next), new_gae
+
+    (_, _), adv = jax.lax.scan(
+        body, (jnp.zeros_like(bootstrap_value), bootstrap_value),
+        (rollout.reward, rollout.value, rollout.done, valid),
+        reverse=True)
+    return adv, adv + rollout.value
+
+
 def ppo_loss(params, apply_fn: Callable, batch: Transition,
              advantages: jnp.ndarray, returns: jnp.ndarray,
-             cfg: PPOConfig):
-    """Clipped-surrogate PPO loss on a flat minibatch
-    (algo/ppo.py:50-104)."""
+             cfg: PPOConfig, weights: jnp.ndarray | None = None):
+    """Clipped-surrogate PPO loss on a flat minibatch (algo/ppo.py:50-104).
+
+    ``weights`` (optional, per-sample 0/1) masks padded slots out of every
+    term — used by rollouts with stream bubbles (teacher/student)."""
     logits, values, _ = apply_fn(params, batch.obs)
     dist = MaskedCategorical(logits=logits, mask=batch.legal)
     logp = dist.log_prob(batch.action)
+
+    if weights is None:
+        def wmean(x):
+            return x.mean()
+    else:
+        denom = jnp.maximum(weights.sum(), 1.0)
+
+        def wmean(x):
+            return (x * weights).sum() / denom
 
     ratio = jnp.exp(logp - batch.logp)
     surr1 = ratio * advantages
     surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param,
                      1.0 + cfg.clip_param) * advantages
-    action_loss = -jnp.minimum(surr1, surr2).mean()
+    action_loss = -wmean(jnp.minimum(surr1, surr2))
 
     if cfg.use_clipped_value_loss:
         value_clipped = batch.value + jnp.clip(
             values - batch.value, -cfg.clip_param, cfg.clip_param)
-        value_loss = 0.5 * jnp.maximum(
-            (values - returns) ** 2, (value_clipped - returns) ** 2).mean()
+        value_loss = 0.5 * wmean(jnp.maximum(
+            (values - returns) ** 2, (value_clipped - returns) ** 2))
     else:
-        value_loss = 0.5 * ((returns - values) ** 2).mean()
+        value_loss = 0.5 * wmean((returns - values) ** 2)
 
     # Reference entropy bonus uses the UNMASKED softmax entropy
     # (model.py:178-179).
-    entropy = dist.entropy_full().mean()
+    entropy = wmean(dist.entropy_full())
 
     total = (value_loss * cfg.value_loss_coef + action_loss
              - entropy * cfg.entropy_coef)
@@ -131,16 +171,26 @@ def ppo_loss(params, apply_fn: Callable, batch: Transition,
 def ppo_update(params, opt_state, rollout: Transition,
                bootstrap_value: jnp.ndarray, key: jax.Array,
                apply_fn: Callable, optimizer: optax.GradientTransformation,
-               cfg: PPOConfig, grad_reduce: Callable | None = None):
+               cfg: PPOConfig, grad_reduce: Callable | None = None,
+               weights: jnp.ndarray | None = None):
     """One full PPO update: GAE + advantage normalization + K epochs of
     shuffled minibatches (algo/ppo.py:34-110).
 
     ``grad_reduce`` (e.g. ``lambda g: lax.pmean(g, 'data')``) hooks in
     multi-chip gradient reduction when run under shard_map.
+    ``weights`` (optional (T, N) 0/1) masks padded rollout slots.
     Returns (params, opt_state, metrics).
     """
-    adv, returns = compute_gae(rollout, bootstrap_value, cfg)
-    adv = (adv - adv.mean()) / (adv.std() + 1e-5)
+    if weights is None:
+        adv, returns = compute_gae(rollout, bootstrap_value, cfg)
+        adv = (adv - adv.mean()) / (adv.std() + 1e-5)
+    else:
+        adv, returns = compute_gae_masked(rollout, weights,
+                                          bootstrap_value, cfg)
+        denom = jnp.maximum(weights.sum(), 1.0)
+        mean = (adv * weights).sum() / denom
+        var = (((adv - mean) ** 2) * weights).sum() / denom
+        adv = (adv - mean) / (jnp.sqrt(var) + 1e-5)
 
     T, N = rollout.reward.shape
     batch_size = T * N
@@ -150,6 +200,7 @@ def ppo_update(params, opt_state, rollout: Transition,
         lambda x: x.reshape((batch_size,) + x.shape[2:]), rollout)
     flat_adv = adv.reshape(-1)
     flat_ret = returns.reshape(-1)
+    flat_w = None if weights is None else weights.reshape(-1)
 
     def epoch(carry, epoch_key):
         params, opt_state = carry
@@ -161,7 +212,8 @@ def ppo_update(params, opt_state, rollout: Transition,
                                                mb_size)
             mb = jax.tree.map(lambda x: x[idx], flat)
             grads, metrics = jax.grad(ppo_loss, has_aux=True)(
-                params, apply_fn, mb, flat_adv[idx], flat_ret[idx], cfg)
+                params, apply_fn, mb, flat_adv[idx], flat_ret[idx], cfg,
+                None if flat_w is None else flat_w[idx])
             if grad_reduce is not None:
                 grads = grad_reduce(grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)

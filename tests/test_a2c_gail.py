@@ -1,0 +1,97 @@
+"""A2C and GAIL module tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymothelloenv_tpu.agents.a2c import (A2CConfig, a2c_returns,
+                                          a2c_update, make_a2c_optimizer)
+from gymothelloenv_tpu.agents.gail import (ExpertDataset, GAILConfig,
+                                           gail_discriminator_update,
+                                           gail_init, gail_predict_reward)
+from gymothelloenv_tpu.agents.ppo import Transition
+from gymothelloenv_tpu.models.nets import PolicyNet
+
+
+def _rollout(T, N, key):
+    ks = jax.random.split(key, 4)
+    return Transition(
+        obs=jax.random.normal(ks[3], (T, N, 4, 8, 8)) * 0.1,
+        action=jax.random.randint(ks[0], (T, N), 0, 64),
+        logp=jnp.zeros((T, N)),
+        value=jax.random.normal(ks[1], (T, N)),
+        reward=jax.random.normal(ks[2], (T, N)),
+        done=jnp.zeros((T, N), bool).at[5].set(True),
+        legal=jnp.ones((T, N, 64), bool))
+
+
+def test_a2c_returns_bootstrapped():
+    cfg = A2CConfig(gamma=0.9, use_gae=False)
+    roll = _rollout(8, 2, jax.random.PRNGKey(0))
+    boot = jnp.asarray([1.0, -1.0])
+    got = np.asarray(a2c_returns(roll, boot, cfg))
+    rewards = np.asarray(roll.reward)
+    dones = np.asarray(roll.done)
+    want = np.zeros((8, 2))
+    for j in range(2):
+        ret = float(boot[j])
+        for t in reversed(range(8)):
+            ret = rewards[t, j] + 0.9 * ret * (1 - dones[t, j])
+            want[t, j] = ret
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_a2c_update_runs_and_moves_params():
+    net = PolicyNet(num_actions=64)
+
+    def apply_fn(p, x):
+        return net.apply(p, x)
+
+    key = jax.random.PRNGKey(0)
+    params = net.init(key, jnp.zeros((1, 4, 8, 8)))
+    cfg = A2CConfig()
+    opt = make_a2c_optimizer(cfg)
+    opt_state = opt.init(params)
+    roll = _rollout(8, 4, key)
+    new_params, _, metrics = jax.jit(
+        lambda p, o, r: a2c_update(p, o, r, jnp.zeros(4), apply_fn, opt,
+                                   cfg))(params, opt_state, roll)
+    assert np.isfinite(float(metrics["value_loss"]))
+    diffs = [float(jnp.abs(a - b).max()) for a, b in
+             zip(jax.tree.leaves(params), jax.tree.leaves(new_params))]
+    assert max(diffs) > 0
+
+
+def test_gail_discriminator_learns_to_separate():
+    cfg = GAILConfig(hidden_dim=32)
+    key = jax.random.PRNGKey(0)
+    state = gail_init(cfg, input_dim=8, num_envs=4, key=key)
+    rng = np.random.RandomState(0)
+    upd = jax.jit(lambda s, e, p, k: gail_discriminator_update(
+        s, cfg, e, p, k))
+    for i in range(60):
+        expert = jnp.asarray(rng.randn(64, 8) + 2.0, jnp.float32)
+        policy = jnp.asarray(rng.randn(64, 8) - 2.0, jnp.float32)
+        key, k = jax.random.split(key)
+        state, loss = upd(state, expert, policy, k)
+    # Rewards (log s - log(1-s)) should be higher for expert-like data.
+    state, r_expert = gail_predict_reward(
+        state, cfg, jnp.ones((4, 8)) * 2.0, jnp.ones(4),
+        update_rms=False)
+    state, r_policy = gail_predict_reward(
+        state, cfg, -jnp.ones((4, 8)) * 2.0, jnp.ones(4),
+        update_rms=False)
+    assert float(r_expert.mean()) > float(r_policy.mean())
+
+
+def test_expert_dataset_subsampling(tmp_path):
+    K, T, D = 6, 100, 5
+    rng = np.random.RandomState(0)
+    path = str(tmp_path / "expert.npz")
+    np.savez(path, states=rng.randn(K, T, D),
+             actions=rng.randint(0, 64, (K, T)),
+             lengths=np.full(K, T))
+    ds = ExpertDataset(path, num_trajectories=3, subsample_frequency=10)
+    assert len(ds) == 3 * (T // 10)
+    s, a = ds.sample(rng, 16)
+    assert s.shape == (16, D) and a.shape == (16,)
