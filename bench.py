@@ -16,7 +16,6 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 
 from gymothelloenv_tpu.core.state import EnvConfig
 from gymothelloenv_tpu.envs import vec_reset, vec_step

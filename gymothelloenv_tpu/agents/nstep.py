@@ -14,7 +14,6 @@ exclusive: a terminal push flushes everything including itself).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 

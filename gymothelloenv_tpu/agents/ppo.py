@@ -11,7 +11,7 @@ choice loops.  For multi-chip data parallelism the same functions run under
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

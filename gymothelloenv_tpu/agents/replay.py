@@ -16,7 +16,6 @@ per state instead of 768/1024 — and featurized on sample.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,94 @@
+"""Interactive rollout of a saved agent — rebuild of the vendored
+``enjoy.py`` (:39-95): load a checkpoint and watch it play (or play
+against it as a human).
+
+Usage:
+    python -m gymothelloenv_tpu.cli.enjoy --load data/selfplay/ppo.msgpack
+    python -m gymothelloenv_tpu.cli.enjoy --load ... --opponent human
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymothelloenv_tpu.compat import (GreedyPolicy, HumanPolicy,
+                                      MaxiMinPolicy, RandomPolicy,
+                                      SimpleOthelloEnv)
+from gymothelloenv_tpu.compat.featurize import make_state4
+from gymothelloenv_tpu.models.distributions import MaskedCategorical
+from gymothelloenv_tpu.train.ppo_trainer import make_apply_fn, make_network
+from gymothelloenv_tpu.core.state import EnvConfig
+from gymothelloenv_tpu.utils.checkpoint import load_checkpoint
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--load", type=str, required=True,
+                        help="PolicyNet checkpoint (msgpack)")
+    parser.add_argument("--opponent", type=str, default="greedy",
+                        choices=["rand", "greedy", "maximin", "human"])
+    parser.add_argument("--opponent-search-depth", type=int, default=2)
+    parser.add_argument("--board-size", type=int, default=8)
+    parser.add_argument("--episodes", type=int, default=1)
+    parser.add_argument("--agent-plays-white", action="store_true")
+    parser.add_argument("--deterministic", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    args, _ = parser.parse_known_args(argv)
+
+    cfg = EnvConfig(board_size=args.board_size)
+    net = make_network(cfg)
+    apply_fn = make_apply_fn(net)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 4, cfg.board_size, cfg.board_size)))
+    _, params, _, _ = load_checkpoint(args.load, params)
+    forward = jax.jit(lambda p, x: apply_fn(p, x)[0])
+
+    if args.opponent == "rand":
+        opp = RandomPolicy(seed=args.seed)
+    elif args.opponent == "greedy":
+        opp = GreedyPolicy()
+    elif args.opponent == "maximin":
+        opp = MaxiMinPolicy(args.opponent_search_depth)
+    else:
+        opp = HumanPolicy(args.board_size)
+
+    env = SimpleOthelloEnv(board_size=args.board_size, seed=args.seed)
+    agent_color = 1 if args.agent_plays_white else -1
+    key = jax.random.PRNGKey(args.seed)
+    rng = np.random.RandomState(args.seed)
+
+    for ep in range(args.episodes):
+        env.reset()
+        opp.reset(env)
+        done = False
+        while not done:
+            env.render(mode="np_array")
+            if env.player_turn == agent_color:
+                logits = np.asarray(forward(
+                    params, jnp.asarray(make_state4(env))[None])[0])
+                moves = env.possible_moves
+                mask = np.zeros(cfg.num_actions, bool)
+                mask[moves] = True
+                dist = MaskedCategorical(logits=jnp.asarray(logits),
+                                         mask=jnp.asarray(mask))
+                if args.deterministic:
+                    action = int(dist.mode())
+                else:
+                    key, k = jax.random.split(key)
+                    action = int(dist.sample(k))
+                print(f"agent plays {action}")
+            else:
+                action = int(opp.get_action(env.env.get_observation()))
+                print(f"{args.opponent} plays {action}")
+            _, reward, done, _ = env.step(action)
+        env.render(mode="np_array")
+        outcome = reward if env.player_turn == agent_color else -reward
+        print(f"episode {ep + 1}: agent reward {outcome}")
+
+
+if __name__ == "__main__":
+    main()

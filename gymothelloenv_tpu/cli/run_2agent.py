@@ -22,7 +22,7 @@ import numpy as np
 
 from gymothelloenv_tpu.cli.run import create_policy
 from gymothelloenv_tpu.compat import SimpleOthelloEnv
-from gymothelloenv_tpu.compat.agents import DQNAgent, PPO
+from gymothelloenv_tpu.compat.agents import PPO
 from gymothelloenv_tpu.compat.featurize import make_state3, make_state4
 
 

@@ -22,7 +22,7 @@ conv(32->64, k2, valid), conv(64->64, k2, valid); for B=8 this flattens to
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+
 
 import jax
 import jax.numpy as jnp

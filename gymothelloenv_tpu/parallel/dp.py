@@ -11,7 +11,7 @@ reference never had (its learner was single-device, SURVEY.md §2.3).
 from __future__ import annotations
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from gymothelloenv_tpu.agents.ppo import PPOConfig, ppo_update
 from gymothelloenv_tpu.core.state import EnvConfig
