@@ -16,10 +16,11 @@ import json
 import time
 
 import jax
+import numpy as np
 
 from gymothelloenv_tpu.core.state import EnvConfig
 from gymothelloenv_tpu.envs import vec_reset, vec_step
-from gymothelloenv_tpu.policies import random_action
+from gymothelloenv_tpu.policies.scripted import random_actions_batched
 
 BATCH = 4096
 CHUNK = 512          # env-steps per device program
@@ -32,8 +33,7 @@ def rollout_chunk(state, key, cfg: EnvConfig, num_steps: int):
     def body(carry, _):
         state, key = carry
         key, k = jax.random.split(key)
-        actions = jax.vmap(random_action)(
-            jax.random.split(k, state.core.board.shape[0]), state.core.legal)
+        actions = random_actions_batched(k, state.core.legal)
         res = vec_step(state, actions, cfg)
         return (res.state, key), res.done.sum()
 
@@ -47,10 +47,12 @@ def main():
     key = jax.random.PRNGKey(0)
     key, k0 = jax.random.split(key)
     state = vec_reset(k0, cfg, BATCH)
-    # NOTE: synchronization is via int() host fetches, not
-    # block_until_ready — the axon TPU-tunnel backend's block_until_ready
-    # does not actually block.  The first host transfer also absorbs the
-    # tunnel's one-time init stall before timing starts.
+    # NOTE: synchronization is via host fetches, not block_until_ready —
+    # the axon TPU-tunnel backend's block_until_ready does not actually
+    # block.  The tiny fetch below absorbs the tunnel's one-time init
+    # stall BEFORE any large program is queued: queuing compute first has
+    # been observed to wedge the tunnel handshake indefinitely.
+    np.asarray(state.core.board[0])
     for _ in range(WARMUP_CHUNKS):
         key, k = jax.random.split(key)
         state, _, episodes = rollout_chunk(state, k, cfg, CHUNK)

@@ -30,3 +30,9 @@ from gymothelloenv_tpu.agents.simple_ppo import (  # noqa: F401
     SimplePPOConfig,
     simple_ppo_update,
 )
+from gymothelloenv_tpu.agents.kfac import (  # noqa: F401
+    ACKTRAgent,
+    ACKTRConfig,
+    acktr_init,
+    acktr_update,
+)

@@ -1,0 +1,216 @@
+"""Rainbow DQN — the capability the reference *imports but cannot run*
+(``from Rainbow.agent import Agent`` against an absent external package,
+util.py:6; ``create_policy('rainbow')`` util.py:42-43, used as the default
+protagonist of run_self_play.py).
+
+Components (on top of agents/dqn.py's double/dueling/PER/n-step):
+  * Noisy linear layers (factorized Gaussian noise; Fortunato et al.) —
+    exploration without epsilon.
+  * C51 distributional value head (Bellemare et al.): 51-atom categorical
+    returns with the projected-Bellman cross-entropy loss.
+
+``RainbowNet`` = conv trunk -> noisy dueling atom heads;
+``rainbow_train_batch`` plugs into the same replay/n-step/trainer stack as
+DQN.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from gymothelloenv_tpu.agents.dqn import DQNState, featurize3
+from gymothelloenv_tpu.agents.replay import (Replay, ReplayConfig,
+                                             replay_gather,
+                                             replay_sample_idx,
+                                             replay_update_priorities)
+from gymothelloenv_tpu.models.nets import ConvTrunk, torch_default_init
+
+
+@dataclasses.dataclass(frozen=True)
+class RainbowConfig:
+    board_size: int = 8
+    state_channels: int = 3
+    gamma: float = 0.99
+    n_step: int = 3
+    num_atoms: int = 51
+    v_min: float = -1.0          # reward/64-scaled disk diffs live in ±1
+    v_max: float = 1.0
+    lr: float = 6.25e-5
+    adam_eps: float = 1.5e-4
+    batch_size: int = 32
+    target_update_interval: int = 10_000
+    train_interval: int = 4
+    initial_replay_size: int = 20_000
+    reward_scale: float = 1.0 / 64.0
+
+    @property
+    def num_actions(self) -> int:
+        return self.board_size ** 2
+
+    @property
+    def gamma_n(self) -> float:
+        return self.gamma ** self.n_step
+
+    @property
+    def support(self) -> jnp.ndarray:
+        return jnp.linspace(self.v_min, self.v_max, self.num_atoms)
+
+
+class NoisyDense(nn.Module):
+    """Factorized-Gaussian noisy linear layer.  Pass ``noise_key=None`` for
+    the deterministic (mean-weight) evaluation path."""
+    features: int
+    sigma0: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, noise_key=None):
+        n_in = x.shape[-1]
+        bound = 1.0 / math.sqrt(n_in)
+        w_mu = self.param("w_mu", nn.initializers.uniform(scale=bound),
+                          (n_in, self.features))
+        b_mu = self.param("b_mu", nn.initializers.uniform(scale=bound),
+                          (self.features,))
+        sigma_init = self.sigma0 / math.sqrt(n_in)
+        w_sigma = self.param("w_sigma",
+                             nn.initializers.constant(sigma_init),
+                             (n_in, self.features))
+        b_sigma = self.param("b_sigma",
+                             nn.initializers.constant(sigma_init),
+                             (self.features,))
+        if noise_key is None:
+            return x @ w_mu + b_mu
+        k1, k2 = jax.random.split(noise_key)
+        f_in = jax.random.normal(k1, (n_in,))
+        f_out = jax.random.normal(k2, (self.features,))
+        f = lambda e: jnp.sign(e) * jnp.sqrt(jnp.abs(e))
+        w_eps = jnp.outer(f(f_in), f(f_out))
+        b_eps = f(f_out)
+        return x @ (w_mu + w_sigma * w_eps) + (b_mu + b_sigma * b_eps)
+
+
+class RainbowNet(nn.Module):
+    """Conv trunk -> noisy dueling C51 heads; returns atom log-probs
+    (..., A, num_atoms)."""
+    num_actions: int
+    num_atoms: int = 51
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, x, noise_key=None):
+        x = jnp.moveaxis(x, -3, -1)
+        h = ConvTrunk(kernel_init=torch_default_init())(x)
+        keys = ([None] * 4 if noise_key is None
+                else list(jax.random.split(noise_key, 4)))
+        adv = nn.relu(NoisyDense(self.hidden)(h, keys[0]))
+        val = nn.relu(NoisyDense(self.hidden)(h, keys[1]))
+        adv = NoisyDense(self.num_actions * self.num_atoms)(adv, keys[2])
+        val = NoisyDense(self.num_atoms)(val, keys[3])
+        adv = adv.reshape(adv.shape[:-1] + (self.num_actions,
+                                            self.num_atoms))
+        val = val.reshape(val.shape[:-1] + (1, self.num_atoms))
+        logits = val + adv - adv.mean(axis=-2, keepdims=True)
+        return jax.nn.log_softmax(logits, axis=-1)
+
+
+def make_rainbow_net(cfg: RainbowConfig) -> RainbowNet:
+    return RainbowNet(num_actions=cfg.num_actions,
+                      num_atoms=cfg.num_atoms)
+
+
+def make_rainbow_optimizer(cfg: RainbowConfig):
+    return optax.adam(cfg.lr, eps=cfg.adam_eps)
+
+
+def rainbow_init(cfg: RainbowConfig, key: jax.Array) -> DQNState:
+    net = make_rainbow_net(cfg)
+    dummy = jnp.zeros((1, cfg.state_channels, cfg.board_size,
+                       cfg.board_size))
+    params = net.init(key, dummy)
+    return DQNState(params=params,
+                    target_params=jax.tree.map(jnp.copy, params),
+                    opt_state=make_rainbow_optimizer(cfg).init(params),
+                    t=jnp.int32(0))
+
+
+def expected_q(log_probs: jnp.ndarray, cfg: RainbowConfig) -> jnp.ndarray:
+    """(..., A, atoms) log-probs -> (..., A) expected values."""
+    return (jnp.exp(log_probs) * cfg.support).sum(axis=-1)
+
+
+def rainbow_act(params, apply_fn, board, turn, legal, key,
+                cfg: RainbowConfig) -> jnp.ndarray:
+    """Greedy over expected Q of the noisy net — exploration comes from the
+    noise, not epsilon."""
+    log_p = apply_fn(params, featurize3(board, turn), key)
+    q = expected_q(log_p, cfg)
+    return jnp.argmax(jnp.where(legal, q, -jnp.inf), axis=-1).astype(
+        jnp.int32)
+
+
+def _project_distribution(next_probs, rewards, not_done,
+                          cfg: RainbowConfig):
+    """Categorical projection of r + gamma^n * z onto the fixed support
+    (C51)."""
+    z = cfg.support                                   # (atoms,)
+    tz = rewards[:, None] + not_done[:, None] * cfg.gamma_n * z[None, :]
+    tz = jnp.clip(tz, cfg.v_min, cfg.v_max)
+    dz = (cfg.v_max - cfg.v_min) / (cfg.num_atoms - 1)
+    b = (tz - cfg.v_min) / dz                         # (N, atoms)
+    lo = jnp.clip(jnp.floor(b), 0, cfg.num_atoms - 1)
+    hi = jnp.clip(jnp.ceil(b), 0, cfg.num_atoms - 1)
+    # When lo == hi the mass goes entirely to that atom.
+    w_lo = jnp.where(hi == lo, 1.0, hi - b)
+    w_hi = jnp.where(hi == lo, 0.0, b - lo)
+    proj = jnp.zeros_like(next_probs)
+    batch_idx = jnp.arange(b.shape[0])[:, None].repeat(cfg.num_atoms, 1)
+    proj = proj.at[batch_idx, lo.astype(jnp.int32)].add(
+        next_probs * w_lo)
+    proj = proj.at[batch_idx, hi.astype(jnp.int32)].add(
+        next_probs * w_hi)
+    return proj
+
+
+def rainbow_train_batch(state: DQNState, replay: Replay,
+                        cfg: RainbowConfig, rb_cfg: ReplayConfig,
+                        apply_fn, optimizer, key: jax.Array):
+    """C51 projected-Bellman update with double-DQN action selection and
+    PER priorities = KL losses.  Returns (state, replay, loss)."""
+    k_sample, k_online, k_target, k_train = jax.random.split(key, 4)
+    idx = replay_sample_idx(replay, rb_cfg, k_sample, cfg.batch_size)
+    board, turn, action, reward, next_board, next_turn, done = \
+        replay_gather(replay, idx)
+    next_obs = featurize3(next_board, next_turn)
+
+    # Double: online net picks a*, target net evaluates its distribution.
+    online_next = apply_fn(state.params, next_obs, k_online)
+    next_a = jnp.argmax(expected_q(online_next, cfg), axis=-1)
+    target_next = apply_fn(state.target_params, next_obs, k_target)
+    next_probs = jnp.exp(jnp.take_along_axis(
+        target_next, next_a[:, None, None].repeat(cfg.num_atoms, -1),
+        axis=1)[:, 0])
+    proj = _project_distribution(next_probs, reward,
+                                 1.0 - done.astype(jnp.float32), cfg)
+    proj = jax.lax.stop_gradient(proj)
+
+    def loss_fn(params):
+        log_p = apply_fn(params, featurize3(board, turn), k_train)
+        log_pa = jnp.take_along_axis(
+            log_p, action[:, None, None].repeat(cfg.num_atoms, -1),
+            axis=1)[:, 0]
+        kl = -(proj * log_pa).sum(-1)
+        return kl.mean(), kl
+
+    (loss, kl), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params)
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.params)
+    params = optax.apply_updates(state.params, updates)
+    if rb_cfg.prioritized:
+        replay = replay_update_priorities(replay, rb_cfg, idx, kl)
+    return state.replace(params=params, opt_state=opt_state), replay, loss

@@ -26,6 +26,8 @@ from gymothelloenv_tpu.utils.checkpoint import load_checkpoint
 
 
 def main(argv=None):
+    from gymothelloenv_tpu.utils.tpu import warmup
+    warmup()   # absorb the axon tunnel init before queuing big programs
     parser = argparse.ArgumentParser()
     parser.add_argument("--load", type=str, required=True,
                         help="PolicyNet checkpoint (msgpack)")

@@ -19,6 +19,8 @@ from gymothelloenv_tpu.utils.logging import MetricsLogger
 
 
 def main(argv=None):
+    from gymothelloenv_tpu.utils.tpu import warmup
+    warmup()   # absorb the axon tunnel init before queuing big programs
     parser = argparse.ArgumentParser()
     parser.add_argument("--board-size", type=int, default=8)
     parser.add_argument("--num-envs", type=int, default=256)

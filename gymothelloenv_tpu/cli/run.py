@@ -20,7 +20,7 @@ import numpy as np
 from gymothelloenv_tpu.compat import (GreedyPolicy, HumanPolicy,
                                       MaxiMinPolicy, OthelloEnv,
                                       RandomPolicy)
-from gymothelloenv_tpu.compat.agents import DQNAgent, PPO
+from gymothelloenv_tpu.compat.agents import DQNAgent, PPO, Rainbow
 from gymothelloenv_tpu.compat.featurize import make_state3, make_state4
 
 
@@ -41,6 +41,8 @@ def create_policy(policy_type="rand", board_size=8, seed=0,
         policy = DQNAgent(agent_name or "dqn", board_size)
     elif policy_type == "ppo":
         policy = PPO(agent_name or "ppo", board_size)
+    elif policy_type == "rainbow":
+        policy = Rainbow(agent_name or "rainbow", board_size)
     else:
         raise ValueError(f"unknown policy type: {policy_type!r}")
     if load_path and hasattr(policy, "load"):
@@ -142,7 +144,8 @@ def play(protagonist, protagonist_agent_type="greedy",
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    choices = ["rand", "greedy", "maximin", "human", "dqn", "ppo"]
+    choices = ["rand", "greedy", "maximin", "human", "dqn", "ppo",
+               "rainbow"]
     parser.add_argument("--protagonist", default="rand", choices=choices)
     parser.add_argument("--opponent", default="rand", choices=choices)
     parser.add_argument("--protagonist-plays-white", default=False,

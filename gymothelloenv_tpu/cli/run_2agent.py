@@ -135,7 +135,8 @@ def play(protagonist, protagonist_agent_type="greedy",
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    choices = ["rand", "greedy", "maximin", "human", "dqn", "ppo"]
+    choices = ["rand", "greedy", "maximin", "human", "dqn", "ppo",
+               "rainbow"]
     parser.add_argument("--protagonist", default="dqn", choices=choices)
     parser.add_argument("--opponent", default="rand", choices=choices)
     parser.add_argument("--protagonist-plays-white", action="store_true")

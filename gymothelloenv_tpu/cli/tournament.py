@@ -28,6 +28,8 @@ def policy_from_spec(spec: str, cfg: EnvConfig):
 
 
 def main(argv=None):
+    from gymothelloenv_tpu.utils.tpu import warmup
+    warmup()   # absorb the axon tunnel init before queuing big programs
     parser = argparse.ArgumentParser()
     parser.add_argument("--games", type=int, default=100)
     parser.add_argument("--board-size", type=int, default=8)

@@ -337,3 +337,59 @@ def _planes_to_board(state):
         turn = np.int8(1 if s[2].flat[0] >= 0.5 else -1)
         return board, turn
     raise ValueError("expected plane features (C, B, B)")
+
+
+class Rainbow(DQNAgent):
+    """Rainbow agent with the reference protocol — the class the reference
+    imports from an absent external package (``from Rainbow.agent import
+    Agent as Rainbow``, util.py:6; ``create_policy('rainbow')``
+    util.py:42-43).  Noisy nets + C51 on top of the DQN driver loop;
+    exploration comes from the parameter noise, so the epsilon schedule is
+    pinned to the test epsilon.
+    """
+
+    def __init__(self, agent_name="rainbow", board_size=8, device=None,
+                 seed=0, **kwargs):
+        del device  # reference signature artifact (util.py:43)
+        from gymothelloenv_tpu.agents.rainbow import (
+            RainbowConfig, make_rainbow_net, make_rainbow_optimizer,
+            rainbow_init, rainbow_train_batch, expected_q)
+        super().__init__(agent_name=agent_name, board_size=board_size,
+                         seed=seed, prioritized=True, n_step=3, **{
+                             k: v for k, v in kwargs.items()
+                             if k in ("replay_memory_size",
+                                      "initial_replay_size",
+                                      "target_update_interval",
+                                      "train_interval", "batch_size",
+                                      "gamma")})
+        self.rainbow_cfg = RainbowConfig(
+            board_size=board_size, gamma=self.cfg.gamma,
+            n_step=self.cfg.n_step,
+            initial_replay_size=self.cfg.initial_replay_size,
+            target_update_interval=self.cfg.target_update_interval,
+            train_interval=self.cfg.train_interval,
+            batch_size=self.cfg.batch_size)
+        key = jax.random.PRNGKey(seed)
+        self.state = rainbow_init(self.rainbow_cfg, key)
+        net = make_rainbow_net(self.rainbow_cfg)
+        apply_fn = lambda p, x, k=None: net.apply(p, x, k)
+        self._expected_q = jax.jit(
+            lambda p, x, k: expected_q(apply_fn(p, x, k),
+                                       self.rainbow_cfg))
+        self.optimizer = make_rainbow_optimizer(self.rainbow_cfg)
+        self._train = jax.jit(functools.partial(
+            rainbow_train_batch, cfg=self.rainbow_cfg,
+            rb_cfg=self.rb_cfg, apply_fn=apply_fn,
+            optimizer=self.optimizer), donate_argnums=(0, 1))
+
+    def _q(self, state):
+        x = jnp.asarray(state, jnp.float32)[None]
+        self._key, k = jax.random.split(self._key)
+        return np.asarray(self._expected_q(self.state.params, x, k)[0])
+
+    def get_action(self, state):
+        # Noisy-net exploration: always greedy over the (noisy) values.
+        return self._pick(state, 0.0)
+
+    def get_test_action(self, state):
+        return self._pick(state, 0.0)

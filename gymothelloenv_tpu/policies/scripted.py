@@ -31,6 +31,15 @@ def random_action(key: jax.Array, legal: jnp.ndarray) -> jnp.ndarray:
     return jax.random.categorical(key, logits).astype(jnp.int32)
 
 
+def random_actions_batched(key: jax.Array,
+                           legal: jnp.ndarray) -> jnp.ndarray:
+    """Uniform legal sample for a whole batch from ONE key — rows are
+    independent (categorical draws one gumbel per cell).  Cheaper than
+    splitting a key per game."""
+    logits = jnp.where(legal, 0.0, -jnp.inf)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 def random_policy(key: jax.Array, state: OthelloState) -> jnp.ndarray:
     return random_action(key, state.legal)
 

@@ -28,11 +28,7 @@ if os.environ.get("_GYMOTHELLO_TEST_ENV") != "1":
 
 sys.path.insert(0, os.path.dirname(__file__))
 
-# Persistent compilation cache: the suite is dominated by XLA compiles of
-# large scan/while programs; cache them across runs (dir is gitignored).
-import jax  # noqa: E402
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: jax's persistent compilation cache was tried here and reverted —
+# its XLA:CPU AOT blobs fail to reload on this machine ("+prefer-no-gather
+# is not supported on the host machine"), so every hit recompiles anyway
+# and the loader spams stderr.

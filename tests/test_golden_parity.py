@@ -29,10 +29,12 @@ with open(GOLDEN) as f:
 
 GAME_IDS = [f"{g['black']}_vs_{g['white']}" for g in DATA["games"]]
 
+JSTEP = jax.jit(step, static_argnums=2)
+
 
 def replay_engine(game):
     """Replay recorded actions; returns the list of pre-move states."""
-    jstep = jax.jit(step, static_argnums=2)
+    jstep = JSTEP
     s = reset(CFG)
     states = []
     for i, rec in enumerate(game["steps"]):

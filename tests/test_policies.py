@@ -112,7 +112,7 @@ def test_tournament_random_vs_random_roughly_even():
 def test_tournament_maximin2_beats_random():
     key = jax.random.PRNGKey(2)
     winners = play_games(key, CFG, maximin_policy(2, CFG), random_policy,
-                         num_games=24, init_rand_steps=10)
+                         num_games=16, init_rand_steps=10)
     bw, d, ww = (int(x) for x in tally(winners))
     # README.md:49: 72/1/27 over 100 games; loose bound for a small sample.
-    assert bw > 12, (bw, d, ww)
+    assert bw > 7, (bw, d, ww)

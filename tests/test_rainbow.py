@@ -1,0 +1,100 @@
+"""Rainbow (noisy nets + C51) tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymothelloenv_tpu.agents.rainbow import (RainbowConfig,
+                                              _project_distribution,
+                                              expected_q,
+                                              make_rainbow_net,
+                                              make_rainbow_optimizer,
+                                              rainbow_act, rainbow_init,
+                                              rainbow_train_batch)
+from gymothelloenv_tpu.agents.replay import (ReplayConfig, replay_init,
+                                             replay_insert)
+
+
+CFG = RainbowConfig(n_step=1, initial_replay_size=0)
+
+
+def test_net_outputs_normalized_log_probs():
+    net = make_rainbow_net(CFG)
+    x = jnp.zeros((3, 3, 8, 8))
+    params = net.init(jax.random.PRNGKey(0), x)
+    log_p = net.apply(params, x)
+    assert log_p.shape == (3, 64, 51)
+    np.testing.assert_allclose(np.asarray(jnp.exp(log_p).sum(-1)), 1.0,
+                               rtol=1e-5)
+    # Noisy path differs from deterministic path.
+    log_p_noisy = net.apply(params, x, jax.random.PRNGKey(1))
+    assert float(jnp.abs(log_p_noisy - log_p).max()) > 1e-6
+    # Same noise key -> same output (reproducible).
+    log_p_noisy2 = net.apply(params, x, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(log_p_noisy),
+                               np.asarray(log_p_noisy2))
+
+
+def test_projection_identity_when_reward_zero_gamma_one():
+    cfg = RainbowConfig(gamma=1.0, n_step=1)
+    probs = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(0),
+                                             (4, cfg.num_atoms)))
+    proj = _project_distribution(probs, jnp.zeros(4), jnp.ones(4), cfg)
+    np.testing.assert_allclose(np.asarray(proj), np.asarray(probs),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_projection_terminal_is_delta_at_reward():
+    cfg = CFG
+    probs = jnp.full((2, cfg.num_atoms), 1.0 / cfg.num_atoms)
+    proj = _project_distribution(probs, jnp.asarray([0.5, -1.0]),
+                                 jnp.zeros(2), cfg)
+    support = np.asarray(cfg.support)
+    mean = (np.asarray(proj) * support).sum(-1)
+    np.testing.assert_allclose(mean, [0.5, -1.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(proj.sum(-1)), 1.0, rtol=1e-6)
+
+
+def test_rainbow_train_learns_value():
+    """Train on fixed terminal transitions with reward 0.75 for action 5;
+    expected Q(s, 5) must approach 0.75."""
+    cfg = RainbowConfig(n_step=1, initial_replay_size=0, lr=1e-3)
+    rb_cfg = ReplayConfig(capacity=512, prioritized=True)
+    key = jax.random.PRNGKey(0)
+    state = rainbow_init(cfg, key)
+    net = make_rainbow_net(cfg)
+    apply_fn = lambda p, x, k=None: net.apply(p, x, k)
+    optimizer = make_rainbow_optimizer(cfg)
+    replay = replay_init(rb_cfg)
+
+    board = jnp.zeros((64, 8, 8), jnp.int8)
+    replay = replay_insert(
+        replay, rb_cfg, board, jnp.full((64,), -1, jnp.int8),
+        jnp.full((64,), 5, jnp.int32), jnp.full((64,), 0.75),
+        board, jnp.full((64,), 1, jnp.int8), jnp.ones((64,), bool),
+        jnp.ones((64,), bool))
+
+    train = jax.jit(lambda s, r, k: rainbow_train_batch(
+        s, r, cfg, rb_cfg, apply_fn, optimizer, k))
+    for i in range(150):
+        key, k = jax.random.split(key)
+        state, replay, loss = train(state, replay, k)
+    from gymothelloenv_tpu.agents.dqn import featurize3
+    q = expected_q(net.apply(state.params,
+                             featurize3(board[:1],
+                                        jnp.full((1,), -1, jnp.int8))),
+                   cfg)
+    assert abs(float(q[0, 5]) - 0.75) < 0.1, float(q[0, 5])
+
+
+def test_rainbow_act_legal():
+    cfg = CFG
+    state = rainbow_init(cfg, jax.random.PRNGKey(0))
+    net = make_rainbow_net(cfg)
+    apply_fn = lambda p, x, k=None: net.apply(p, x, k)
+    board = jnp.zeros((4, 8, 8), jnp.int8)
+    legal = jnp.zeros((4, 64), bool).at[:, 19].set(True)
+    a = rainbow_act(state.params, apply_fn, board,
+                    jnp.full((4,), -1, jnp.int8), legal,
+                    jax.random.PRNGKey(1), cfg)
+    assert np.all(np.asarray(a) == 19)

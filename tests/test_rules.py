@@ -12,6 +12,8 @@ from gymothelloenv_tpu.core.state import OthelloState, observe
 
 from reference_spec import SpecGame
 
+JSTEP = jax.jit(step, static_argnums=2)
+
 
 def make_jax_state(board, turn, cfg):
     board = jnp.asarray(board, jnp.int8)
@@ -59,10 +61,10 @@ def test_random_playout_parity(board_size, sudden, disk_reward):
     cfg = EnvConfig(board_size=board_size,
                     sudden_death_on_invalid_move=sudden,
                     num_disk_as_reward=disk_reward)
-    jstep = jax.jit(step, static_argnums=2)
+    jstep = JSTEP
     rng = np.random.RandomState(board_size * 100 + sudden * 7 + disk_reward)
 
-    for game in range(8):
+    for game in range(4):
         spec = SpecGame(board_size, sudden, disk_reward)
         s = reset(cfg)
         for ply in range(3 * board_size * board_size):
