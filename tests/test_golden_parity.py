@@ -73,9 +73,11 @@ def test_golden_engine_replay(game):
     replay_engine(game)
 
 
-# Depth-3 maximin is ~5s/position on the CPU test backend; cap how many
-# positions per game we verify for it (full coverage for greedy/depth<=2).
-_POSITION_CAP = {"maximin-3": 4}
+# Positions verified per (game, policy): depth-3 maximin is ~5s/position
+# on the CPU test backend, so its cap is small.  Batches are PADDED (by
+# cycling indices) to exactly the cap so each policy spec compiles once
+# across all games instead of once per batch shape.
+_POSITION_CAP = {"greedy": 16, "maximin-2": 16, "maximin-3": 4}
 
 
 @pytest.mark.parametrize("game", DATA["games"], ids=GAME_IDS)
@@ -86,9 +88,8 @@ def test_golden_policy_actions(game):
     batch = stack_states(states)
     for color, spec in ((-1, game["black"]), (1, game["white"])):
         idx = np.nonzero(turns == color)[0]
-        cap = _POSITION_CAP.get(spec)
-        if cap:
-            idx = idx[:cap]
+        cap = _POSITION_CAP[spec]
+        idx = idx[np.arange(cap) % len(idx)]     # fixed-size, cycled
         sub = jax.tree.map(lambda x: x[idx], batch)
         got = np.asarray(batched_policy(spec)(sub))
         np.testing.assert_array_equal(got, actions[idx],
