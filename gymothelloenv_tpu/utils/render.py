@@ -1,0 +1,60 @@
+"""Board rendering.
+
+The reference's pyglet GUI is broken in its snapshot (othello.py:5
+commented `rendering` import → NameError on the GUI path); the working
+replacements here are the ASCII board (print_board parity lives in
+compat/envs.py) and a dependency-free SVG renderer with the same visual
+design: green field, grid, black/white disks, legal-move hints with action
+indices (othello.py:529-587).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def board_svg(board, legal_actions=(), player_turn=-1,
+              cell: int = 60) -> str:
+    """SVG string for a board (numpy (B, B), +1 white / -1 black)."""
+    board = np.asarray(board)
+    B = board.shape[0]
+    size = B * cell
+    r = cell // 2 - 4
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{size}" '
+        f'height="{size}" viewBox="0 0 {size} {size}">',
+        f'<rect width="{size}" height="{size}" fill="#66cc66"/>',
+    ]
+    for i in range(1, B):
+        o = i * cell
+        parts.append(f'<line x1="{o}" y1="0" x2="{o}" y2="{size}" '
+                     'stroke="black"/>')
+        parts.append(f'<line x1="0" y1="{o}" x2="{size}" y2="{o}" '
+                     'stroke="black"/>')
+    for row in range(B):
+        for col in range(B):
+            v = int(board[row, col])
+            if v == 0:
+                continue
+            cx = col * cell + cell // 2
+            cy = row * cell + cell // 2
+            fill = "white" if v == 1 else "black"
+            parts.append(f'<circle cx="{cx}" cy="{cy}" r="{r}" '
+                         f'fill="{fill}" stroke="black"/>')
+    hint = "white" if player_turn == 1 else "black"
+    for a in legal_actions:
+        row, col = divmod(int(a), B)
+        cx = col * cell + cell // 2
+        cy = row * cell + cell // 2
+        parts.append(f'<circle cx="{cx}" cy="{cy}" r="{r}" fill="none" '
+                     f'stroke="{hint}" stroke-dasharray="4"/>')
+        parts.append(f'<text x="{cx}" y="{cy + 4}" font-size="14" '
+                     f'text-anchor="middle" fill="{hint}">{int(a)}</text>')
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def save_board_svg(path: str, board, legal_actions=(),
+                   player_turn=-1) -> None:
+    with open(path, "w") as f:
+        f.write(board_svg(board, legal_actions, player_turn))
