@@ -14,9 +14,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_NOT_COL0 = jnp.uint32(0xFEFEFEFE)   # clears bits with c == 0
-_NOT_COL7 = jnp.uint32(0x7F7F7F7F)   # clears bits with c == 7
+# numpy scalars on purpose: module-level jnp scalars become lifted jaxpr
+# constants in every program that traces these ops, and jax 0.9 mishandles
+# lifted consts on re-dispatch of sharded programs (CLAUDE.md).
+_NOT_COL0 = np.uint32(0xFEFEFEFE)   # clears bits with c == 0
+_NOT_COL7 = np.uint32(0x7F7F7F7F)   # clears bits with c == 7
 
 DIRECTIONS = (
     (-1, -1), (-1, 0), (-1, 1),
@@ -28,14 +32,14 @@ DIRECTIONS = (
 def pack(plane: jnp.ndarray) -> jnp.ndarray:
     """bool/int (..., 8, 8) -> uint32 (..., 2)."""
     bits = plane.reshape(plane.shape[:-2] + (2, 32)).astype(jnp.uint32)
-    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    weights = np.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
     return (bits * weights).sum(axis=-1, dtype=jnp.uint32)
 
 
 def unpack(bb: jnp.ndarray) -> jnp.ndarray:
     """uint32 (..., 2) -> bool (..., 8, 8)."""
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = (bb[..., None] >> shifts) & jnp.uint32(1)
+    bits = (bb[..., None] >> shifts) & np.uint32(1)
     return (bits != 0).reshape(bb.shape[:-1] + (8, 8))
 
 
@@ -44,17 +48,17 @@ def shift(x: jnp.ndarray, dr: int, dc: int) -> jnp.ndarray:
     ``x``: uint32 (..., 2) [rows 0-3, rows 4-7]."""
     # Horizontal: +-1 bit within each byte-row.
     if dc == 1:
-        x = (x << jnp.uint32(1)) & _NOT_COL0
+        x = (x << np.uint32(1)) & _NOT_COL0
     elif dc == -1:
-        x = (x >> jnp.uint32(1)) & _NOT_COL7
+        x = (x >> np.uint32(1)) & _NOT_COL7
     # Vertical: +-8 bits with carry between the two words.
     w0, w1 = x[..., 0], x[..., 1]
     if dr == 1:
-        w0, w1 = w0 << jnp.uint32(8), \
-            (w1 << jnp.uint32(8)) | (w0 >> jnp.uint32(24))
+        w0, w1 = w0 << np.uint32(8), \
+            (w1 << np.uint32(8)) | (w0 >> np.uint32(24))
     elif dr == -1:
-        w0, w1 = (w0 >> jnp.uint32(8)) | (w1 << jnp.uint32(24)), \
-            w1 >> jnp.uint32(8)
+        w0, w1 = (w0 >> np.uint32(8)) | (w1 << np.uint32(24)), \
+            w1 >> np.uint32(8)
     return jnp.stack([w0, w1], axis=-1)
 
 
@@ -99,4 +103,4 @@ def action_bit(action: jnp.ndarray) -> jnp.ndarray:
     word = (action // 32)[..., None]
     bit = (action % 32)[..., None].astype(jnp.uint32)
     return jnp.where(jnp.arange(2) == word,
-                     jnp.uint32(1) << bit, jnp.uint32(0))
+                     np.uint32(1) << bit, np.uint32(0))

@@ -25,7 +25,8 @@ from gymothelloenv_tpu.train.self_play import collect_rollout
 def make_sharded_train_step(mesh: Mesh, apply_fn, optimizer,
                             env_cfg: EnvConfig, ppo_cfg: PPOConfig,
                             num_steps: int, init_rand_steps: int = 0,
-                            params_example=None):
+                            params_example=None, donate: bool = True,
+                            jit_wrap: bool = True):
     """Returns (train_step, place_params, place_selfplay_state).
 
     ``train_step(params, opt_state, sp_state, key)`` is jitted with explicit
@@ -56,5 +57,10 @@ def make_sharded_train_step(mesh: Mesh, apply_fn, optimizer,
             optimizer, ppo_cfg)
         return params, opt_state, sp_state, metrics
 
-    jitted = jax.jit(train_step, donate_argnums=(0, 1, 2))
+    if not jit_wrap:
+        # Traceable body, for embedding in a larger jitted program (e.g.
+        # a scan over updates — see scripts/bench_scaling.py).
+        return train_step, place_params, place_selfplay_state
+    jitted = jax.jit(train_step,
+                     donate_argnums=(0, 1, 2) if donate else ())
     return jitted, place_params, place_selfplay_state

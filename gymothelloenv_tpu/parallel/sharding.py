@@ -71,10 +71,22 @@ def batch_sharded(mesh: Mesh, axis: int = 0):
     return make
 
 
+def _is_key_leaf(leaf) -> bool:
+    try:
+        return jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+    except (TypeError, AttributeError):
+        return False
+
+
 def _batch_spec(leaf, axis: int, batch_size: int | None):
     """P(...) sharding ``axis`` over 'data' — but only for leaves that
     actually carry the batch dimension there (scalar carries like the scan
-    PRNG key replicate)."""
+    PRNG key replicate).  Typed PRNG-key leaves are left unconstrained:
+    with_sharding_constraint on key-dtype arrays breaks jit's repeat-call
+    fast path ("Execution supplied N-2 buffers...") — GSPMD propagates
+    their layout from the surrounding ops instead."""
+    if _is_key_leaf(leaf):
+        return None
     if leaf.ndim <= axis:
         return P()
     if batch_size is not None and leaf.shape[axis] != batch_size:
@@ -87,16 +99,21 @@ def _batch_spec(leaf, axis: int, batch_size: int | None):
 def shard_batch_tree(mesh: Mesh, tree, axis: int = 0,
                      batch_size: int | None = None):
     """NamedSharding pytree sharding every batch-carrying leaf's ``axis``
-    over 'data'."""
-    return jax.tree.map(
-        lambda leaf: NamedSharding(mesh, _batch_spec(leaf, axis,
-                                                     batch_size)), tree)
+    over 'data' (key leaves replicate)."""
+    def assign(leaf):
+        spec = _batch_spec(leaf, axis, batch_size)
+        return NamedSharding(mesh, spec if spec is not None else P())
+    return jax.tree.map(assign, tree)
 
 
 def constrain_batch(tree, mesh: Mesh, axis: int = 0,
                     batch_size: int | None = None):
-    """with_sharding_constraint variant of :func:`shard_batch_tree`."""
-    return jax.tree.map(
-        lambda leaf: jax.lax.with_sharding_constraint(
-            leaf, NamedSharding(mesh, _batch_spec(leaf, axis, batch_size))),
-        tree)
+    """with_sharding_constraint variant of :func:`shard_batch_tree`
+    (key leaves pass through unconstrained)."""
+    def constrain(leaf):
+        spec = _batch_spec(leaf, axis, batch_size)
+        if spec is None:
+            return leaf
+        return jax.lax.with_sharding_constraint(
+            leaf, NamedSharding(mesh, spec))
+    return jax.tree.map(constrain, tree)

@@ -21,7 +21,7 @@ from gymothelloenv_tpu.core import bitops
 from gymothelloenv_tpu.core.state import (EnvConfig, OthelloState,
                                           disk_planes)
 
-_BIG = jnp.int32(1 << 20)
+_BIG = 1 << 20   # python int: keeps jaxprs free of lifted constants
 
 
 def random_action(key: jax.Array, legal: jnp.ndarray) -> jnp.ndarray:
