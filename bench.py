@@ -8,6 +8,11 @@ Protocol (BASELINE.json configs[1]): 8x8 board, batch 4096, random legal
 actions, auto-reset, everything inside one jitted ``lax.scan`` so the chip
 never waits on the host.  Baseline target: 10M env-steps/s per v5e chip.
 
+Fast path measured: the bitboard-native vector env (envs/bit_vector_env.py)
+— state stays packed uint32 across the whole rollout (no plane pack/unpack
+per step) and random legal actions come from one randint + prefix-popcount
+bit-select per game instead of a (N, 64) gumbel categorical.
+
 Reliability: the axon TPU tunnel's first-transfer handshake wedges roughly
 half the time (see CLAUDE.md); the parent process therefore supervises the
 actual benchmark in a child with a timeout and retries with a cooldown, so
@@ -37,17 +42,18 @@ def _child_main():
     import jax
     import numpy as np
 
+    from gymothelloenv_tpu.core import bitboard as bb
     from gymothelloenv_tpu.core.state import EnvConfig
-    from gymothelloenv_tpu.envs import vec_reset, vec_step
-    from gymothelloenv_tpu.policies.scripted import random_actions_batched
+    from gymothelloenv_tpu.envs.bit_vector_env import (bitvec_reset,
+                                                       bitvec_step)
 
     @functools.partial(jax.jit, static_argnames=("cfg", "num_steps"))
     def rollout_chunk(state, key, cfg: EnvConfig, num_steps: int):
         def body(carry, _):
             state, key = carry
             key, k = jax.random.split(key)
-            actions = random_actions_batched(k, state.core.legal)
-            res = vec_step(state, actions, cfg)
+            actions = bb.random_legal_bit(k, state.core.legal)
+            res = bitvec_step(state, actions, cfg)
             return (res.state, key), res.done.sum()
 
         (state, key), dones = jax.lax.scan(body, (state, key), None,
@@ -57,11 +63,11 @@ def _child_main():
     cfg = EnvConfig()
     key = jax.random.PRNGKey(0)
     key, k0 = jax.random.split(key)
-    state = vec_reset(k0, cfg, BATCH)
+    state = bitvec_reset(k0, BATCH)
     # Synchronize via host fetches, not block_until_ready (a no-op on the
     # axon backend); the tiny fetch absorbs the tunnel init BEFORE any
     # large program is queued.
-    np.asarray(state.core.board[0])
+    np.asarray(state.core.black[0])
     for _ in range(WARMUP_CHUNKS):
         key, k = jax.random.split(key)
         state, _, episodes = rollout_chunk(state, k, cfg, CHUNK)

@@ -127,75 +127,29 @@ def count_disks(board: jnp.ndarray):
 
 def _step_bitboard(state: OthelloState, action: jnp.ndarray,
                    cfg: EnvConfig) -> StepResult:
-    """8x8 fast path of :func:`step` on packed uint32 bitboards
-    (core/bitboard.py) — identical semantics, ~8x less data movement."""
+    """8x8 fast path of :func:`step` on packed uint32 bitboards — identical
+    semantics, ~8x less data movement.  The rules themselves live in
+    ``bitboard.bit_step`` (single source of truth; the bit-native vector
+    env keeps that representation across whole rollouts)."""
     from gymothelloenv_tpu.core import bitboard as bb
 
-    B = cfg.board_size
-    mover = state.turn
-    signed = state.board * mover
-    mine = bb.pack(signed == 1)
-    opp = bb.pack(signed == -1)
-
-    onehot = bb.action_bit(action)
-    valid = state.legal[action]
-
-    flips = bb.resolve_flips(onehot, mine, opp)
-    new_mine = mine | onehot | flips
-    new_opp = opp & ~flips
-    mine = jnp.where(valid, new_mine, mine)
-    opp = jnp.where(valid, new_opp, opp)
-
-    board_full = bb.popcount(mine | opp) == B * B
-    sudden = (~valid) if cfg.sudden_death_on_invalid_move else jnp.bool_(False)
-    done_now = sudden | board_full
-
-    legal_opp_bb = bb.legal_mask(opp, mine)
-    legal_same_bb = bb.legal_mask(mine, opp)
-    opp_has = bb.any_bits(legal_opp_bb)
-    same_has = bb.any_bits(legal_same_bb)
-    stuck = ~opp_has & ~same_has
-    terminated = done_now | stuck
-
-    next_turn = jnp.where(terminated, mover,
-                          jnp.where(opp_has, -mover, mover)).astype(jnp.int8)
-    next_legal_bb = jnp.where(
-        terminated, jnp.zeros_like(legal_opp_bb),
-        jnp.where(opp_has, legal_opp_bb, legal_same_bb))
-
-    mine_cnt = bb.popcount(mine)
-    opp_cnt = bb.popcount(opp)
-    white_cnt = jnp.where(mover == WHITE_DISK, mine_cnt, opp_cnt)
-    black_cnt = jnp.where(mover == WHITE_DISK, opp_cnt, mine_cnt)
-    count_winner = jnp.sign(white_cnt - black_cnt).astype(jnp.int8)
-    winner = jnp.where(
-        terminated,
-        jnp.where(sudden, (-mover).astype(jnp.int8), count_winner),
-        jnp.int8(NO_DISK))
-
-    if cfg.num_disk_as_reward:
-        disk_reward = (mine_cnt - opp_cnt).astype(jnp.float32)
-        disk_reward = jnp.where(opp_cnt == 0, jnp.float32(B * B),
-                                disk_reward)
-        reward = jnp.where(sudden, jnp.float32(-(B * B)), disk_reward)
-    else:
-        reward = (winner * mover).astype(jnp.float32)
-    reward = jnp.where(terminated, reward, jnp.float32(0.0))
-
-    mine_plane = bb.unpack(mine)
-    opp_plane = bb.unpack(opp)
-    board = jnp.where(mine_plane, mover,
-                      jnp.where(opp_plane, -mover,
-                                jnp.int8(0))).astype(jnp.int8)
+    bits = bb.from_planes(state.board, state.turn, state.legal,
+                          state.terminated, state.winner)
+    res = bb.bit_step(
+        bits, action,
+        sudden_death_on_invalid_move=cfg.sudden_death_on_invalid_move,
+        num_disk_as_reward=cfg.num_disk_as_reward)
+    board = bb.to_board(res.state)
     new_state = OthelloState(
         board=board,
-        turn=next_turn,
-        legal=bb.unpack(next_legal_bb).reshape(-1),
-        terminated=terminated,
-        winner=winner,
+        turn=res.state.turn,
+        legal=bb.unpack(res.state.legal).reshape(
+            state.legal.shape),
+        terminated=res.state.terminated,
+        winner=res.state.winner,
     )
-    return StepResult(state=new_state, obs=board * next_turn,
-                      reward=reward, done=terminated)
+    return StepResult(state=new_state, obs=board * res.state.turn,
+                      reward=res.reward, done=res.done)
 
 
 def step(state: OthelloState, action: jnp.ndarray,

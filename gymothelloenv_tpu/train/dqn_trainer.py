@@ -100,13 +100,11 @@ class DQNTrainer:
         self.run_cfg = run_cfg or DQNRunConfig()
         self.log_fn = log_fn
 
-        net = make_dqn_net(self.dqn_cfg)
-        self.apply_fn = lambda params, x: net.apply(params, x)
-        self.optimizer = make_dqn_optimizer(self.dqn_cfg)
+        self._setup_algo()
 
         self.key = jax.random.PRNGKey(self.run_cfg.seed)
         self.key, k = jax.random.split(self.key)
-        self.agent = dqn_init(self.dqn_cfg, k)
+        self.agent = self._init_agent(k)
         self.replay = replay_init(self.rb_cfg)
         self.roll: DQNRollState = None
         self.chunk_count = 0
@@ -114,13 +112,44 @@ class DQNTrainer:
         self._build_steps()
 
     # ------------------------------------------------------------------
+    # Algorithm hooks — RainbowTrainer overrides these; everything the
+    # collection loop needs from the agent goes through them.
+    def _setup_algo(self):
+        net = make_dqn_net(self.dqn_cfg)
+        self.apply_fn = lambda params, x: net.apply(params, x)
+        self.optimizer = make_dqn_optimizer(self.dqn_cfg)
+
+    def _init_agent(self, key) -> DQNState:
+        return dqn_init(self.dqn_cfg, key)
+
+    def _epsilon(self, t):
+        return epsilon_at(self.dqn_cfg, t)
+
+    def _agent_act(self, params, board, turn, legal, key, eps):
+        return dqn_act(params, self.apply_fn, board, turn, legal, key, eps)
+
+    def _agent_train_batch(self, agent, replay, key):
+        return dqn_train_batch(agent, replay, self.dqn_cfg, self.rb_cfg,
+                               self.apply_fn, self.optimizer, key)
+
+    def _eval_act(self, params, key, state):
+        """epsilon=0.05 greedy eval action (get_action_at_test,
+        dqn.py:478-488)."""
+        k_eps, k_rand = jax.random.split(key)
+        q = self.apply_fn(params, featurize3(
+            state.board, state.turn)[None])[0]
+        greedy = greedy_legal_action(q, state.legal)
+        rand = random_action(k_rand, state.legal)
+        explore = (jax.random.uniform(k_eps, ())
+                   < self.dqn_cfg.test_epsilon)
+        return jnp.where(explore, rand, greedy)
+
+    # ------------------------------------------------------------------
     def _build_steps(self):
         env_cfg = self.env_cfg
         dqn_cfg = self.dqn_cfg
         rb_cfg = self.rb_cfg
         run_cfg = self.run_cfg
-        apply_fn = self.apply_fn
-        optimizer = self.optimizer
         N = run_cfg.num_envs
         B = env_cfg.board_size
         n_step = dqn_cfg.n_step
@@ -202,8 +231,8 @@ class DQNTrainer:
                             pending.valid[c_idx] & ~mask))
 
                 # 2. mover acts (epsilon-greedy learner / scripted).
-                learner_actions = dqn_act(params, apply_fn, env.board,
-                                          env.turn, env.legal, k_act, eps)
+                learner_actions = self._agent_act(
+                    params, env.board, env.turn, env.legal, k_act, eps)
                 if selfplay:
                     actions = learner_actions
                 else:
@@ -289,7 +318,7 @@ class DQNTrainer:
         def train_chunk(agent: DQNState, replay: Replay,
                         roll: DQNRollState, key):
             key, k_collect, k_train = jax.random.split(key, 3)
-            eps = epsilon_at(dqn_cfg, agent.t)
+            eps = self._epsilon(agent.t)
             (roll, _), em = jax.lax.scan(
                 make_ply(agent.params, eps), (roll, k_collect), None,
                 length=run_cfg.chunk_plies)
@@ -318,8 +347,7 @@ class DQNTrainer:
                 agent, replay = carry
 
                 def run(_):
-                    return dqn_train_batch(agent, replay, dqn_cfg, rb_cfg,
-                                           apply_fn, optimizer, k)
+                    return self._agent_train_batch(agent, replay, k)
 
                 def skip(_):
                     return agent, replay, jnp.float32(0.0)
@@ -335,7 +363,7 @@ class DQNTrainer:
                 (t_old // dqn_cfg.target_update_interval)
             agent = maybe_sync_target(agent, dqn_cfg, crossed)
             metrics = {"loss": losses.mean(),
-                       "epsilon": epsilon_at(dqn_cfg, agent.t),
+                       "epsilon": self._epsilon(agent.t),
                        "transitions": agent.t,
                        "replay_size": replay.size}
             return agent, replay, roll, metrics
@@ -350,17 +378,11 @@ class DQNTrainer:
             return greedy_action(state)
 
         def eval_step(params, key):
-            """epsilon=0.05 greedy eval vs scripted, colors split half/half
-            (get_action_at_test, dqn.py:478-488)."""
+            """Greedy eval vs scripted, colors split half/half (DQN:
+            epsilon=0.05 per get_action_at_test dqn.py:478-488; Rainbow:
+            deterministic mean weights)."""
             def net_act(k, state):
-                k_eps, k_rand = jax.random.split(k)
-                q = apply_fn(params, featurize3(
-                    state.board, state.turn)[None])[0]
-                greedy = greedy_legal_action(q, state.legal)
-                rand = random_action(k_rand, state.legal)
-                explore = (jax.random.uniform(k_eps, ())
-                           < dqn_cfg.test_epsilon)
-                return jnp.where(explore, rand, greedy)
+                return self._eval_act(params, k, state)
 
             n = run_cfg.num_test_games // 2
             results = {}

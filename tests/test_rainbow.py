@@ -87,6 +87,36 @@ def test_rainbow_train_learns_value():
     assert abs(float(q[0, 5]) - 0.75) < 0.1, float(q[0, 5])
 
 
+def test_rainbow_trainer_chunk_and_eval():
+    """Batched RainbowTrainer: one collect+train chunk runs, produces
+    finite loss, replay fills, and eval returns win rates in [0, 1]."""
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.dqn_trainer import DQNRunConfig
+    from gymothelloenv_tpu.train.rainbow_trainer import RainbowTrainer
+
+    cfg = RainbowConfig(n_step=3, initial_replay_size=0, batch_size=16)
+    trainer = RainbowTrainer(
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        rainbow_cfg=cfg,
+        rb_cfg=ReplayConfig(capacity=2048, prioritized=True),
+        run_cfg=DQNRunConfig(num_envs=8, chunk_plies=16,
+                             num_test_games=4, test_init_rand_steps=4,
+                             seed=0),
+        log_fn=lambda step, m: None)
+    trainer.ensure_initialized()
+    trainer.key, k = jax.random.split(trainer.key)
+    trainer.agent, trainer.replay, trainer.roll, metrics = \
+        trainer._train_chunk(trainer.agent, trainer.replay, trainer.roll,
+                             k)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(metrics["replay_size"]) > 0
+    assert int(metrics["transitions"]) > 0
+    assert float(metrics["epsilon"]) == 0.0   # noisy nets, no epsilon
+    wins = trainer.evaluate()
+    for v in wins.values():
+        assert 0.0 <= v <= 1.0
+
+
 def test_rainbow_act_legal():
     cfg = CFG
     state = rainbow_init(cfg, jax.random.PRNGKey(0))
