@@ -40,6 +40,7 @@ RETRY_COOLDOWN_S = 90
 
 def _child_main():
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from gymothelloenv_tpu.core import bitboard as bb
@@ -60,25 +61,52 @@ def _child_main():
                                            length=num_steps)
         return state, key, dones.sum()
 
-    cfg = EnvConfig()
-    key = jax.random.PRNGKey(0)
-    key, k0 = jax.random.split(key)
-    state = bitvec_reset(k0, BATCH)
-    # Synchronize via host fetches, not block_until_ready (a no-op on the
-    # axon backend); the tiny fetch absorbs the tunnel init BEFORE any
-    # large program is queued.
-    np.asarray(state.core.black[0])
-    for _ in range(WARMUP_CHUNKS):
-        key, k = jax.random.split(key)
-        state, _, episodes = rollout_chunk(state, k, cfg, CHUNK)
-        int(episodes)
+    def run_scan_path():
+        cfg = EnvConfig()
+        key = jax.random.PRNGKey(0)
+        key, k0 = jax.random.split(key)
+        state = bitvec_reset(k0, BATCH)
+        # Synchronize via host fetches, not block_until_ready (a no-op on
+        # the axon backend); the tiny fetch absorbs the tunnel init BEFORE
+        # any large program is queued.
+        np.asarray(state.core.black[0])
+        for _ in range(WARMUP_CHUNKS):
+            key, k = jax.random.split(key)
+            state, _, episodes = rollout_chunk(state, k, cfg, CHUNK)
+            int(episodes)
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_CHUNKS):
+            key, k = jax.random.split(key)
+            state, _, episodes = rollout_chunk(state, k, cfg, CHUNK)
+            int(episodes)
+        return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_CHUNKS):
-        key, k = jax.random.split(key)
-        state, _, episodes = rollout_chunk(state, k, cfg, CHUNK)
-        int(episodes)
-    dt = time.perf_counter() - t0
+    def run_pallas_path():
+        from gymothelloenv_tpu.ops.pallas_rollout import (rollout_chunk
+                                                          as pr_chunk,
+                                                          rollout_init)
+        state = rollout_init(BATCH)
+        np.asarray(state.cur[0])   # absorb the tunnel init
+        seed = 0
+        for _ in range(WARMUP_CHUNKS):
+            seed += 1
+            state, episodes = pr_chunk(state, jnp.int32(seed), CHUNK)
+            int(episodes)
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_CHUNKS):
+            seed += 1
+            state, episodes = pr_chunk(state, jnp.int32(seed), CHUNK)
+            int(episodes)
+        return time.perf_counter() - t0
+
+    try:
+        # Fused whole-rollout pallas kernel (ops/pallas_rollout.py): the
+        # entire CHUNK of plies in one kernel, no per-step dispatch.
+        dt = run_pallas_path()
+    except Exception as e:  # noqa: BLE001 — any compile/runtime failure
+        print(f"# pallas rollout path failed ({type(e).__name__}: {e}); "
+              "falling back to the scan path", file=sys.stderr, flush=True)
+        dt = run_scan_path()
 
     steps_per_sec = BATCH * CHUNK * MEASURE_CHUNKS / dt
     print(json.dumps({

@@ -2,12 +2,19 @@
 
 Each player's disks pack into 2 uint32 words (bit ``k`` of word ``w`` =
 cell ``w*32 + k``, row-major), so every flood iteration is a handful of
-integer ops on ``(..., 2)`` uint32 arrays instead of ~50 elementwise ops on
-``(..., 8, 8)`` planes — ~8x less data movement than core/bitops.py, which
-remains the reference implementation (and the only path for other board
-sizes).  ``core.state.step`` dispatches here for ``board_size == 8``;
+integer ops on word arrays instead of ~50 elementwise ops on ``(..., 8, 8)``
+planes — ~8x less data movement than core/bitops.py, which remains the
+reference implementation (and the only path for other board sizes).
+``core.state.step`` dispatches here for ``board_size == 8``;
 cross-validated against the plane kernel and the golden reference
 transcripts by the rules test-suite.
+
+Layout note (TPU): the hot path works on PAIRS of flat ``(N,)`` uint32
+arrays (``w0, w1``), never on ``(N, 2)`` stacks.  A ``(N, 2)`` array tiles
+on TPU as (8, 128) blocks with only 2 of 128 lanes populated (~1.5% lane
+utilization and 64x padded VMEM footprint); two flat ``(N,)`` arrays tile
+densely.  The ``(N, 2)``-stacked helpers are kept as thin wrappers for
+conversion boundaries and tests.
 """
 
 from __future__ import annotations
@@ -44,23 +51,109 @@ def unpack(bb: jnp.ndarray) -> jnp.ndarray:
     return (bits != 0).reshape(bb.shape[:-1] + (8, 8))
 
 
-def shift(x: jnp.ndarray, dr: int, dc: int) -> jnp.ndarray:
+def pack2(plane: jnp.ndarray):
+    """bool/int (..., 8, 8) -> word pair ((...,), (...,)) uint32."""
+    packed = pack(plane)
+    return packed[..., 0], packed[..., 1]
+
+
+def unpack2(pair) -> jnp.ndarray:
+    """Word pair -> bool (..., 8, 8)."""
+    return unpack(jnp.stack(pair, axis=-1))
+
+
+def shift2(w0: jnp.ndarray, w1: jnp.ndarray, dr: int, dc: int):
     """Translate the bit set by (dr, dc), dropping bits at the edges.
-    ``x``: uint32 (..., 2) [rows 0-3, rows 4-7]."""
+    ``w0``/``w1``: uint32 (...,) [rows 0-3, rows 4-7]."""
     # Horizontal: +-1 bit within each byte-row.
     if dc == 1:
-        x = (x << np.uint32(1)) & _NOT_COL0
+        w0 = (w0 << np.uint32(1)) & _NOT_COL0
+        w1 = (w1 << np.uint32(1)) & _NOT_COL0
     elif dc == -1:
-        x = (x >> np.uint32(1)) & _NOT_COL7
+        w0 = (w0 >> np.uint32(1)) & _NOT_COL7
+        w1 = (w1 >> np.uint32(1)) & _NOT_COL7
     # Vertical: +-8 bits with carry between the two words.
-    w0, w1 = x[..., 0], x[..., 1]
     if dr == 1:
         w0, w1 = w0 << np.uint32(8), \
             (w1 << np.uint32(8)) | (w0 >> np.uint32(24))
     elif dr == -1:
         w0, w1 = (w0 >> np.uint32(8)) | (w1 << np.uint32(24)), \
             w1 >> np.uint32(8)
-    return jnp.stack([w0, w1], axis=-1)
+    return w0, w1
+
+
+def legal_mask2(m, o):
+    """Legal placements for word pair ``m`` vs ``o`` (same dumb7fill flood
+    as bitops.legal_mask, othello.py:273-343 semantics)."""
+    m0, m1 = m
+    o0, o1 = o
+    e0 = ~(m0 | o0)
+    e1 = ~(m1 | o1)
+    l0 = jnp.zeros_like(m0)
+    l1 = jnp.zeros_like(m1)
+    for dr, dc in DIRECTIONS:
+        t0, t1 = shift2(m0, m1, -dr, -dc)
+        t0, t1 = t0 & o0, t1 & o1
+        for _ in range(5):
+            s0, s1 = shift2(t0, t1, -dr, -dc)
+            t0 = t0 | (s0 & o0)
+            t1 = t1 | (s1 & o1)
+        s0, s1 = shift2(t0, t1, -dr, -dc)
+        l0 = l0 | (e0 & s0)
+        l1 = l1 | (e1 & s1)
+    return l0, l1
+
+
+def resolve_flips2(a, m, o):
+    """Disks flipped by placing at the (single-bit) pair ``a``."""
+    a0, a1 = a
+    m0, m1 = m
+    o0, o1 = o
+    flips0 = jnp.zeros_like(m0)
+    flips1 = jnp.zeros_like(m1)
+    zero = jnp.zeros_like(m0)
+    for dr, dc in DIRECTIONS:
+        f0, f1 = shift2(a0, a1, dr, dc)
+        f0, f1 = f0 & o0, f1 & o1
+        for _ in range(5):
+            s0, s1 = shift2(f0, f1, dr, dc)
+            f0 = f0 | (s0 & o0)
+            f1 = f1 | (s1 & o1)
+        s0, s1 = shift2(f0, f1, dr, dc)
+        valid = ((s0 & m0) | (s1 & m1)) != 0
+        flips0 = flips0 | jnp.where(valid, f0, zero)
+        flips1 = flips1 | jnp.where(valid, f1, zero)
+    return flips0, flips1
+
+
+def popcount2(pair) -> jnp.ndarray:
+    """Number of set bits in a word pair, int32 (...,)."""
+    return (jax.lax.population_count(pair[0])
+            + jax.lax.population_count(pair[1])).astype(jnp.int32)
+
+
+def any2(pair) -> jnp.ndarray:
+    return (pair[0] | pair[1]) != 0
+
+
+def action_bit2(action: jnp.ndarray):
+    """Flat action index -> single-bit word pair.  Out-of-range actions
+    (e.g. 64) map to the empty pair (treated as illegal downstream)."""
+    word = action // 32
+    bit = np.uint32(1) << (action % 32).astype(jnp.uint32)
+    zero = jnp.zeros_like(bit)
+    return jnp.where(word == 0, bit, zero), jnp.where(word == 1, bit, zero)
+
+
+# --- (., 2)-stacked wrappers (conversion boundaries, tests, pallas parity)
+
+def _split(x: jnp.ndarray):
+    return x[..., 0], x[..., 1]
+
+
+def shift(x: jnp.ndarray, dr: int, dc: int) -> jnp.ndarray:
+    """Stacked-layout ``shift2``: uint32 (..., 2) -> (..., 2)."""
+    return jnp.stack(shift2(*_split(x), dr, dc), axis=-1)
 
 
 def popcount(bb: jnp.ndarray) -> jnp.ndarray:
@@ -73,38 +166,20 @@ def any_bits(bb: jnp.ndarray) -> jnp.ndarray:
 
 
 def legal_mask(mine: jnp.ndarray, opp: jnp.ndarray) -> jnp.ndarray:
-    """Legal placements for ``mine`` as a bitboard (same flood as
-    bitops.legal_mask, othello.py:273-343 semantics)."""
-    empty = ~(mine | opp)
-    legal = jnp.zeros_like(mine)
-    for dr, dc in DIRECTIONS:
-        t = opp & shift(mine, -dr, -dc)
-        for _ in range(5):
-            t = t | (opp & shift(t, -dr, -dc))
-        legal = legal | (empty & shift(t, -dr, -dc))
-    return legal
+    """Stacked-layout ``legal_mask2``: (..., 2) bitboards."""
+    return jnp.stack(legal_mask2(_split(mine), _split(opp)), axis=-1)
 
 
 def resolve_flips(onehot: jnp.ndarray, mine: jnp.ndarray,
                   opp: jnp.ndarray) -> jnp.ndarray:
-    """Disks flipped by placing at the (single-bit) ``onehot`` cell."""
-    flips = jnp.zeros_like(mine)
-    for dr, dc in DIRECTIONS:
-        f = shift(onehot, dr, dc) & opp
-        for _ in range(5):
-            f = f | (shift(f, dr, dc) & opp)
-        valid = any_bits(shift(f, dr, dc) & mine)
-        flips = flips | jnp.where(valid[..., None], f,
-                                  jnp.zeros_like(f))
-    return flips
+    """Stacked-layout ``resolve_flips2``: (..., 2) bitboards."""
+    return jnp.stack(
+        resolve_flips2(_split(onehot), _split(mine), _split(opp)), axis=-1)
 
 
 def action_bit(action: jnp.ndarray) -> jnp.ndarray:
     """Flat action index -> single-bit bitboard (..., 2)."""
-    word = (action // 32)[..., None]
-    bit = (action % 32)[..., None].astype(jnp.uint32)
-    return jnp.where(jnp.arange(2) == word,
-                     np.uint32(1) << bit, np.uint32(0))
+    return jnp.stack(action_bit2(action), axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -117,12 +192,13 @@ def action_bit(action: jnp.ndarray) -> jnp.ndarray:
 
 @struct.dataclass
 class BitState:
-    """8x8 game state on packed bitboards.  Shapes shown unbatched; batch by
-    vmapping or by calling the (shape-polymorphic) fns on leading dims."""
-    black: jnp.ndarray       # uint32 (..., 2) black disks
-    white: jnp.ndarray       # uint32 (..., 2) white disks
+    """8x8 game state on packed bitboards.  Each bitboard is a word PAIR
+    ``(w0, w1)`` of uint32 (...,) arrays (see module layout note).  Shapes
+    shown unbatched; all fns are shape-polymorphic over leading dims."""
+    black: tuple             # (uint32 (...,), uint32 (...,)) black disks
+    white: tuple             # word pair, white disks
     turn: jnp.ndarray        # int8 (...,) player to move (last mover if done)
-    legal: jnp.ndarray       # uint32 (..., 2) legal placements for `turn`
+    legal: tuple             # word pair, legal placements for `turn`
     terminated: jnp.ndarray  # bool (...)
     winner: jnp.ndarray      # int8 (...,)
 
@@ -137,16 +213,15 @@ class BitStepResult:
 def bit_reset(batch_shape=()) -> BitState:
     """Standard opening, black to move (othello.py:256-271).  Cells d4/e5
     white, d5/e4 black: bits 27/36 white, 28/35 black."""
-    black = jnp.broadcast_to(
-        jnp.asarray([np.uint32(1) << 28, np.uint32(1) << 3], jnp.uint32),
-        batch_shape + (2,))
-    white = jnp.broadcast_to(
-        jnp.asarray([np.uint32(1) << 27, np.uint32(1) << 4], jnp.uint32),
-        batch_shape + (2,))
+    def full(v):
+        return jnp.full(batch_shape, v, jnp.uint32)
+
+    black = (full(np.uint32(1) << 28), full(np.uint32(1) << 3))
+    white = (full(np.uint32(1) << 27), full(np.uint32(1) << 4))
     return BitState(
         black=black, white=white,
         turn=jnp.full(batch_shape, -1, jnp.int8),
-        legal=legal_mask(black, white),
+        legal=legal_mask2(black, white),
         terminated=jnp.zeros(batch_shape, bool),
         winner=jnp.zeros(batch_shape, jnp.int8))
 
@@ -158,43 +233,53 @@ def bit_step(state: BitState, action: jnp.ndarray,
     (othello.py:412-462; see core/state.step for the semantics list).
     Shape-polymorphic over leading batch dims."""
     mover = state.turn
-    is_white = (mover[..., None] == 1)
-    mine = jnp.where(is_white, state.white, state.black)
-    opp = jnp.where(is_white, state.black, state.white)
+    is_white = mover == 1
 
-    onehot = action_bit(action)
-    valid = any_bits(state.legal & onehot)
+    def sel(cond, a, b):
+        return (jnp.where(cond, a[0], b[0]), jnp.where(cond, a[1], b[1]))
 
-    flips = resolve_flips(onehot, mine, opp)
-    new_mine = mine | onehot | flips
-    new_opp = opp & ~flips
-    mine = jnp.where(valid[..., None], new_mine, mine)
-    opp = jnp.where(valid[..., None], new_opp, opp)
+    mine = sel(is_white, state.white, state.black)
+    opp = sel(is_white, state.black, state.white)
 
-    board_full = popcount(mine | opp) == 64
+    onehot = action_bit2(action)
+    valid = (state.legal[0] & onehot[0]) | (state.legal[1] & onehot[1])
+    valid = valid != 0
+
+    flips = resolve_flips2(onehot, mine, opp)
+    new_mine = (mine[0] | onehot[0] | flips[0],
+                mine[1] | onehot[1] | flips[1])
+    new_opp = (opp[0] & ~flips[0], opp[1] & ~flips[1])
+    mine = sel(valid, new_mine, mine)
+    opp = sel(valid, new_opp, opp)
+
+    board_full = popcount2((mine[0] | opp[0], mine[1] | opp[1])) == 64
     if sudden_death_on_invalid_move:
         sudden = ~valid
     else:
         sudden = jnp.zeros_like(valid)
     done_now = sudden | board_full
 
-    legal_opp_bb = legal_mask(opp, mine)
-    legal_same_bb = legal_mask(mine, opp)
-    opp_has = any_bits(legal_opp_bb)
-    same_has = any_bits(legal_same_bb)
+    legal_opp_bb = legal_mask2(opp, mine)
+    legal_same_bb = legal_mask2(mine, opp)
+    opp_has = any2(legal_opp_bb)
+    same_has = any2(legal_same_bb)
     stuck = ~opp_has & ~same_has
     terminated = done_now | stuck
 
     next_turn = jnp.where(terminated, mover,
                           jnp.where(opp_has, -mover, mover)).astype(jnp.int8)
-    next_legal = jnp.where(
-        terminated[..., None], jnp.zeros_like(legal_opp_bb),
-        jnp.where(opp_has[..., None], legal_opp_bb, legal_same_bb))
+    zero = jnp.zeros_like(legal_opp_bb[0])
+    keep = ~terminated
+    next_legal = (
+        jnp.where(keep & opp_has, legal_opp_bb[0],
+                  jnp.where(keep, legal_same_bb[0], zero)),
+        jnp.where(keep & opp_has, legal_opp_bb[1],
+                  jnp.where(keep, legal_same_bb[1], zero)))
 
-    mine_cnt = popcount(mine)
-    opp_cnt = popcount(opp)
-    white_cnt = jnp.where(mover == 1, mine_cnt, opp_cnt)
-    black_cnt = jnp.where(mover == 1, opp_cnt, mine_cnt)
+    mine_cnt = popcount2(mine)
+    opp_cnt = popcount2(opp)
+    white_cnt = jnp.where(is_white, mine_cnt, opp_cnt)
+    black_cnt = jnp.where(is_white, opp_cnt, mine_cnt)
     count_winner = jnp.sign(white_cnt - black_cnt).astype(jnp.int8)
     winner = jnp.where(
         terminated,
@@ -210,8 +295,8 @@ def bit_step(state: BitState, action: jnp.ndarray,
         reward = (winner * mover).astype(jnp.float32)
     reward = jnp.where(terminated, reward, jnp.float32(0.0))
 
-    new_black = jnp.where(is_white, opp, mine)
-    new_white = jnp.where(is_white, mine, opp)
+    new_black = sel(is_white, opp, mine)
+    new_white = sel(is_white, mine, opp)
     return BitStepResult(
         state=BitState(black=new_black, white=new_white, turn=next_turn,
                        legal=next_legal, terminated=terminated,
@@ -219,21 +304,21 @@ def bit_step(state: BitState, action: jnp.ndarray,
         reward=reward, done=terminated)
 
 
-def random_legal_bit(key: jax.Array, legal: jnp.ndarray) -> jnp.ndarray:
-    """Uniform random set bit of each legal bitboard -> flat action int32.
+def random_legal_bit(key: jax.Array, legal) -> jnp.ndarray:
+    """Uniform random set bit of each legal word pair -> flat action int32.
 
     One randint per board plus a 5-step prefix-popcount binary search —
     replaces the (N, 64)-gumbel categorical sampler in the hot rollout
     (64x fewer random bits, no logs).  Boards with no legal move return an
     arbitrary index (caller masks/reset).
     """
-    count = popcount(legal)
+    count = popcount2(legal)
     t = jax.random.randint(key, count.shape, 0,
                            jnp.maximum(count, 1), dtype=jnp.int32)
-    n0 = jax.lax.population_count(legal[..., 0]).astype(jnp.int32)
+    n0 = jax.lax.population_count(legal[0]).astype(jnp.int32)
     in_w1 = t >= n0
     t = jnp.where(in_w1, t - n0, t)
-    w = jnp.where(in_w1, legal[..., 1], legal[..., 0])
+    w = jnp.where(in_w1, legal[1], legal[0])
     pos = jnp.zeros_like(t)
     for width in (16, 8, 4, 2, 1):
         mask = (((np.uint32(1) << np.uint32(width)) - np.uint32(1))
@@ -251,13 +336,13 @@ def from_planes(board: jnp.ndarray, turn: jnp.ndarray,
     """Plane-state fields -> BitState (board int8 (..., 8, 8), legal flat
     bool (..., 64))."""
     return BitState(
-        black=pack(board == -1), white=pack(board == 1), turn=turn,
-        legal=pack(legal_plane.reshape(legal_plane.shape[:-1] + (8, 8))),
+        black=pack2(board == -1), white=pack2(board == 1), turn=turn,
+        legal=pack2(legal_plane.reshape(legal_plane.shape[:-1] + (8, 8))),
         terminated=terminated, winner=winner)
 
 
 def to_board(state: BitState) -> jnp.ndarray:
     """BitState -> signed int8 board (..., 8, 8)."""
-    black = unpack(state.black)
-    white = unpack(state.white)
+    black = unpack2(state.black)
+    white = unpack2(state.white)
     return (white.astype(jnp.int8) - black.astype(jnp.int8))

@@ -143,7 +143,7 @@ def _step_bitboard(state: OthelloState, action: jnp.ndarray,
     new_state = OthelloState(
         board=board,
         turn=res.state.turn,
-        legal=bb.unpack(res.state.legal).reshape(
+        legal=bb.unpack2(res.state.legal).reshape(
             state.legal.shape),
         terminated=res.state.terminated,
         winner=res.state.winner,

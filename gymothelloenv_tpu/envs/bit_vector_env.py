@@ -64,10 +64,16 @@ def bitvec_step(state: BitVecEnvState, actions: jnp.ndarray,
     key, k_rand, k_reset = jax.random.split(state.key, 3)
     n = actions.shape[0]
 
-    use_rand = state.rand_left > 0
-    rand_actions = bb.random_legal_bit(k_rand, state.core.legal)
-    actions = jnp.where(use_rand, rand_actions, actions)
-    rand_left = jnp.where(use_rand, state.rand_left - 1, state.rand_left)
+    if initial_rand_steps == 0:
+        # Static fast path: no game ever enters the forced-random phase,
+        # skip the override draw entirely.
+        rand_left = state.rand_left
+    else:
+        use_rand = state.rand_left > 0
+        rand_actions = bb.random_legal_bit(k_rand, state.core.legal)
+        actions = jnp.where(use_rand, rand_actions, actions)
+        rand_left = jnp.where(use_rand, state.rand_left - 1,
+                              state.rand_left)
 
     res = bb.bit_step(
         state.core, actions,
@@ -79,9 +85,10 @@ def bitvec_step(state: BitVecEnvState, actions: jnp.ndarray,
         lambda f, s: jnp.where(
             res.done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s),
         fresh, res.state)
-    rand_left = jnp.where(
-        res.done, _draw_rand_left(k_reset, n, initial_rand_steps),
-        rand_left)
+    if initial_rand_steps != 0:
+        rand_left = jnp.where(
+            res.done, _draw_rand_left(k_reset, n, initial_rand_steps),
+            rand_left)
     return BitVecStepResult(
         state=BitVecEnvState(core=next_core, rand_left=rand_left, key=key),
         reward=res.reward, done=res.done)

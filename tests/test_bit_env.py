@@ -17,7 +17,8 @@ def _assert_bits_match_planes(bits: bb.BitState, s: core.OthelloState):
                                   np.asarray(s.board))
     np.testing.assert_array_equal(np.asarray(bits.turn), np.asarray(s.turn))
     np.testing.assert_array_equal(
-        np.asarray(bb.unpack(bits.legal)).reshape(np.asarray(s.legal).shape),
+        np.asarray(bb.unpack2(bits.legal)).reshape(
+            np.asarray(s.legal).shape),
         np.asarray(s.legal))
     np.testing.assert_array_equal(np.asarray(bits.terminated),
                                   np.asarray(s.terminated))
@@ -29,7 +30,7 @@ def test_bit_reset_matches_plane_reset():
     s = core.reset(EnvConfig())
     _assert_bits_match_planes(bb.bit_reset(), s)
     batched = bb.bit_reset((5,))
-    assert batched.black.shape == (5, 2)
+    assert batched.black[0].shape == (5,)
     np.testing.assert_array_equal(np.asarray(bb.to_board(batched))[0],
                                   np.asarray(s.board))
 
@@ -74,8 +75,8 @@ def test_random_legal_bit_uniform_and_legal():
     cells = rng.randint(0, 3, (256, 8, 8))
     mine = jnp.asarray(cells == 1)
     opp = jnp.asarray(cells == 2)
-    legal = bb.legal_mask(bb.pack(mine), bb.pack(opp))
-    legal_flat = np.asarray(bb.unpack(legal)).reshape(256, 64)
+    legal = bb.legal_mask2(bb.pack2(mine), bb.pack2(opp))
+    legal_flat = np.asarray(bb.unpack2(legal)).reshape(256, 64)
     draw = jax.jit(bb.random_legal_bit)
 
     counts = np.zeros((256, 64))
@@ -106,7 +107,7 @@ def test_bitvec_env_matches_plane_vec_env_on_same_actions():
     bstate = bitvec_reset(key, n)
     rng = np.random.RandomState(3)
     for t in range(80):
-        legal = np.asarray(bb.unpack(bstate.core.legal)).reshape(n, 64)
+        legal = np.asarray(bb.unpack2(bstate.core.legal)).reshape(n, 64)
         acts = np.array([int(rng.choice(np.nonzero(row)[0]))
                          for row in legal], np.int32)
         vres = vec_step(vstate, jnp.asarray(acts), cfg)
