@@ -62,43 +62,75 @@ def unpack2(pair) -> jnp.ndarray:
     return unpack(jnp.stack(pair, axis=-1))
 
 
-def shift2(w0: jnp.ndarray, w1: jnp.ndarray, dr: int, dc: int):
-    """Translate the bit set by (dr, dc), dropping bits at the edges.
-    ``w0``/``w1``: uint32 (...,) [rows 0-3, rows 4-7]."""
-    # Horizontal: +-1 bit within each byte-row.
+# Column masks for k-step horizontal shifts: shifting left by k wraps the
+# low k columns of each byte-row (clear them); right shifts wrap the high k.
+_COL_HI = {1: np.uint32(0xFEFEFEFE), 2: np.uint32(0xFCFCFCFC),
+           4: np.uint32(0xF0F0F0F0)}
+_COL_LO = {1: np.uint32(0x7F7F7F7F), 2: np.uint32(0x3F3F3F3F),
+           4: np.uint32(0x0F0F0F0F)}
+
+
+def shift2k(w0: jnp.ndarray, w1: jnp.ndarray, dr: int, dc: int, k: int):
+    """Translate the bit set by k*(dr, dc) cells, dropping bits at the
+    edges.  ``w0``/``w1``: uint32 (...,) [rows 0-3, rows 4-7]; k in
+    {1, 2, 4}.  The k == 4 vertical move is a free word swap."""
     if dc == 1:
-        w0 = (w0 << np.uint32(1)) & _NOT_COL0
-        w1 = (w1 << np.uint32(1)) & _NOT_COL0
+        w0 = (w0 << np.uint32(k)) & _COL_HI[k]
+        w1 = (w1 << np.uint32(k)) & _COL_HI[k]
     elif dc == -1:
-        w0 = (w0 >> np.uint32(1)) & _NOT_COL7
-        w1 = (w1 >> np.uint32(1)) & _NOT_COL7
-    # Vertical: +-8 bits with carry between the two words.
+        w0 = (w0 >> np.uint32(k)) & _COL_LO[k]
+        w1 = (w1 >> np.uint32(k)) & _COL_LO[k]
+    b = 8 * k
     if dr == 1:
-        w0, w1 = w0 << np.uint32(8), \
-            (w1 << np.uint32(8)) | (w0 >> np.uint32(24))
+        if k == 4:
+            w0, w1 = jnp.zeros_like(w0), w0
+        else:
+            w0, w1 = w0 << np.uint32(b), \
+                (w1 << np.uint32(b)) | (w0 >> np.uint32(32 - b))
     elif dr == -1:
-        w0, w1 = (w0 >> np.uint32(8)) | (w1 << np.uint32(24)), \
-            w1 >> np.uint32(8)
+        if k == 4:
+            w0, w1 = w1, jnp.zeros_like(w1)
+        else:
+            w0, w1 = (w0 >> np.uint32(b)) | (w1 << np.uint32(32 - b)), \
+                w1 >> np.uint32(b)
     return w0, w1
 
 
+def shift2(w0: jnp.ndarray, w1: jnp.ndarray, dr: int, dc: int):
+    """Single-cell translate (see shift2k)."""
+    return shift2k(w0, w1, dr, dc, 1)
+
+
+def _fill2(g, p, dr, dc):
+    """Kogge-Stone occluded flood: the ``p`` cells reachable from a ``g``
+    cell by repeated (dr, dc) steps through ``p`` (three doubling levels
+    cover the max run of 6 on 8x8; same result as the 6-step dumb7fill).
+    """
+    g0, g1 = g
+    p0, p1 = p
+    s0, s1 = shift2k(g0, g1, dr, dc, 1)
+    g0, g1 = g0 | (p0 & s0), g1 | (p1 & s1)
+    q0, q1 = shift2k(p0, p1, dr, dc, 1)
+    r0, r1 = p0 & q0, p1 & q1                 # runs of >= 2 propagate
+    s0, s1 = shift2k(g0, g1, dr, dc, 2)
+    g0, g1 = g0 | (r0 & s0), g1 | (r1 & s1)
+    q0, q1 = shift2k(r0, r1, dr, dc, 2)
+    r0, r1 = r0 & q0, r1 & q1                 # runs of >= 4 propagate
+    s0, s1 = shift2k(g0, g1, dr, dc, 4)
+    g0, g1 = g0 | (r0 & s0), g1 | (r1 & s1)
+    return g0 & p[0], g1 & p[1]
+
+
 def legal_mask2(m, o):
-    """Legal placements for word pair ``m`` vs ``o`` (same dumb7fill flood
-    as bitops.legal_mask, othello.py:273-343 semantics)."""
-    m0, m1 = m
-    o0, o1 = o
-    e0 = ~(m0 | o0)
-    e1 = ~(m1 | o1)
-    l0 = jnp.zeros_like(m0)
-    l1 = jnp.zeros_like(m1)
+    """Legal placements for word pair ``m`` vs ``o`` (8-direction occluded
+    flood; bitops.legal_mask / othello.py:273-343 semantics)."""
+    e0 = ~(m[0] | o[0])
+    e1 = ~(m[1] | o[1])
+    l0 = jnp.zeros_like(m[0])
+    l1 = jnp.zeros_like(m[1])
     for dr, dc in DIRECTIONS:
-        t0, t1 = shift2(m0, m1, -dr, -dc)
-        t0, t1 = t0 & o0, t1 & o1
-        for _ in range(5):
-            s0, s1 = shift2(t0, t1, -dr, -dc)
-            t0 = t0 | (s0 & o0)
-            t1 = t1 | (s1 & o1)
-        s0, s1 = shift2(t0, t1, -dr, -dc)
+        t0, t1 = _fill2(m, o, dr, dc)
+        s0, s1 = shift2k(t0, t1, dr, dc, 1)
         l0 = l0 | (e0 & s0)
         l1 = l1 | (e1 & s1)
     return l0, l1
@@ -106,20 +138,13 @@ def legal_mask2(m, o):
 
 def resolve_flips2(a, m, o):
     """Disks flipped by placing at the (single-bit) pair ``a``."""
-    a0, a1 = a
     m0, m1 = m
-    o0, o1 = o
     flips0 = jnp.zeros_like(m0)
     flips1 = jnp.zeros_like(m1)
     zero = jnp.zeros_like(m0)
     for dr, dc in DIRECTIONS:
-        f0, f1 = shift2(a0, a1, dr, dc)
-        f0, f1 = f0 & o0, f1 & o1
-        for _ in range(5):
-            s0, s1 = shift2(f0, f1, dr, dc)
-            f0 = f0 | (s0 & o0)
-            f1 = f1 | (s1 & o1)
-        s0, s1 = shift2(f0, f1, dr, dc)
+        f0, f1 = _fill2(a, o, dr, dc)
+        s0, s1 = shift2k(f0, f1, dr, dc, 1)
         valid = ((s0 & m0) | (s1 & m1)) != 0
         flips0 = flips0 | jnp.where(valid, f0, zero)
         flips1 = flips1 | jnp.where(valid, f1, zero)
