@@ -140,24 +140,32 @@ class PolicyNet(nn.Module):
     num_actions: int
     hidden_size: int = 512
     recurrent: bool = False
+    dtype: jnp.dtype = jnp.float32   # compute dtype; params stay float32.
+    #   bfloat16 halves the HBM traffic of the (tiny-channel, bandwidth-
+    #   bound) conv trunk on TPU; logits/value are cast back to float32 so
+    #   sampling and losses are unaffected downstream.
 
     @nn.compact
     def __call__(self, x, h=None, mask=None):
         relu_gain = math.sqrt(2.0)
         trunk_init = nn.initializers.orthogonal(relu_gain)
-        x = ConvTrunk(kernel_init=trunk_init)(_to_nhwc(x))
+        x = x.astype(self.dtype)
+        x = ConvTrunk(kernel_init=trunk_init, dtype=self.dtype)(_to_nhwc(x))
         x = nn.relu(nn.Dense(self.hidden_size, kernel_init=trunk_init,
-                             bias_init=nn.initializers.zeros)(x))
+                             bias_init=nn.initializers.zeros,
+                             dtype=self.dtype)(x))
         if self.recurrent:
             if h is None or mask is None:
                 raise ValueError("recurrent PolicyNet needs (h, mask)")
             x, h = GRUCore(hidden_size=self.hidden_size)(x, h, mask)
         value = nn.Dense(1, kernel_init=nn.initializers.orthogonal(1.0),
-                         bias_init=nn.initializers.zeros)(x)[..., 0]
+                         bias_init=nn.initializers.zeros,
+                         dtype=self.dtype)(x)[..., 0]
         logits = nn.Dense(self.num_actions,
                           kernel_init=nn.initializers.orthogonal(0.01),
-                          bias_init=nn.initializers.zeros)(x)
-        return logits, value, h
+                          bias_init=nn.initializers.zeros,
+                          dtype=self.dtype)(x)
+        return (logits.astype(jnp.float32), value.astype(jnp.float32), h)
 
 
 class MLPBase(nn.Module):

@@ -39,10 +39,13 @@ class SelfPlayConfig:
     test_interval: int = 100       # in updates (reference: 500 episodes)
     save_interval: int = 500
     seed: int = 0
+    bf16: bool = False             # bfloat16 net compute (params fp32)
 
 
-def make_network(cfg: EnvConfig, recurrent: bool = False) -> PolicyNet:
-    return PolicyNet(num_actions=cfg.num_actions, recurrent=recurrent)
+def make_network(cfg: EnvConfig, recurrent: bool = False,
+                 bf16: bool = False) -> PolicyNet:
+    return PolicyNet(num_actions=cfg.num_actions, recurrent=recurrent,
+                     dtype=jnp.bfloat16 if bf16 else jnp.float32)
 
 
 def make_apply_fn(net: PolicyNet):
@@ -73,7 +76,7 @@ class PPOSelfPlayTrainer:
         self.run_cfg = run_cfg or SelfPlayConfig()
         self.log_fn = log_fn
 
-        self.net = make_network(self.env_cfg)
+        self.net = make_network(self.env_cfg, bf16=self.run_cfg.bf16)
         self.apply_fn = make_apply_fn(self.net)
         self.optimizer = make_optimizer(self.ppo_cfg)
 

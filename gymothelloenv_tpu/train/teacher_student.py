@@ -30,17 +30,16 @@ from flax import struct
 
 from gymothelloenv_tpu.agents.ppo import (PPOConfig, Transition,
                                           make_optimizer, ppo_update)
-from gymothelloenv_tpu.core import state as core
-from gymothelloenv_tpu.core.featurize import make_state
-from gymothelloenv_tpu.core.state import EnvConfig, OthelloState
+from gymothelloenv_tpu.core.engine import get_engine
+from gymothelloenv_tpu.core.state import EnvConfig
 from gymothelloenv_tpu.models.distributions import MaskedCategorical
 from gymothelloenv_tpu.policies.scripted import (greedy_policy,
-                                                 random_action,
                                                  random_policy)
 from gymothelloenv_tpu.train.ppo_trainer import (make_apply_fn,
                                                  make_network,
                                                  net_tournament_policy)
-from gymothelloenv_tpu.train.self_play import outcome_for
+from gymothelloenv_tpu.train.self_play import (masked_step, reset_done,
+                                               split_each)
 from gymothelloenv_tpu.train.tournament import (draw_max_rand_steps,
                                                 play_games_impl)
 from gymothelloenv_tpu.utils.checkpoint import (load_checkpoint,
@@ -73,17 +72,12 @@ class RolePending:
 
 @struct.dataclass
 class TSState:
-    env: OthelloState
+    env: object                    # engine state pytree, batched (N, ...)
     rand_left: jnp.ndarray
     env_keys: jnp.ndarray
     tcolor: jnp.ndarray            # int8 (N,) teacher's color per game
     pending_t: RolePending
     pending_s: RolePending
-
-
-def _split_keys(keys):
-    both = jax.vmap(jax.random.split)(keys)
-    return both[:, 0], both[:, 1]
 
 
 def _empty_pending(N, C, B, A):
@@ -93,29 +87,14 @@ def _empty_pending(N, C, B, A):
         legal=jnp.zeros((N, A), bool), valid=jnp.zeros((N,), bool))
 
 
-def _decide(params, apply_fn, env, keys):
-    obs = jax.vmap(make_state)(env)
+def _decide(params, apply_fn, eng, env, keys):
+    obs = eng.featurize(env)
+    legal = eng.legal_flat(env)
     logits, value, _ = apply_fn(params, obs)
     action = jax.vmap(lambda lg, m, k: MaskedCategorical(
-        logits=lg, mask=m).sample(k))(logits, env.legal, keys)
-    logp = MaskedCategorical(logits=logits, mask=env.legal).log_prob(action)
-    return obs, action, logp, value, env.legal
-
-
-def _masked_step(env, rand_left, keys, actions, do, cfg):
-    keys, sub = _split_keys(keys)
-
-    def one(k_rand, state, rleft, action, do):
-        use_rand = (rleft > 0) & do
-        exec_a = jnp.where(use_rand, random_action(k_rand, state.legal),
-                           action)
-        res = core.step(state, exec_a, cfg)
-        new_state = jax.tree.map(lambda n, o: jnp.where(do, n, o),
-                                 res.state, state)
-        return new_state, jnp.where(use_rand, rleft - 1, rleft)
-
-    env, rand_left = jax.vmap(one)(sub, env, rand_left, actions, do)
-    return env, rand_left, keys
+        logits=lg, mask=m).sample(k))(logits, legal, keys)
+    logp = MaskedCategorical(logits=logits, mask=legal).log_prob(action)
+    return obs, action, logp, value, legal
 
 
 def _emit(pending: RolePending, reward, done, emit_mask):
@@ -144,9 +123,10 @@ def _set_pending(pending: RolePending, mask, obs, action, logp, value,
 
 
 def ts_init(key, cfg: EnvConfig, num_envs: int,
-            init_rand_steps: int) -> TSState:
+            init_rand_steps: int, force_plane: bool = False) -> TSState:
+    eng = get_engine(cfg, force_plane)
     key, k_env, k_color, k_rand = jax.random.split(key, 4)
-    env = jax.vmap(lambda _: core.reset(cfg))(jnp.arange(num_envs))
+    env = eng.reset_batch(num_envs, cfg)
     rand_left = jax.vmap(draw_max_rand_steps, in_axes=(0, None))(
         jax.random.split(k_rand, num_envs), init_rand_steps)
     tcolor = (jax.random.randint(k_color, (num_envs,), 0, 2) * 2
@@ -162,12 +142,14 @@ def ts_init(key, cfg: EnvConfig, num_envs: int,
 def collect_ts_rollout(params_t, params_s, apply_fn, ts: TSState,
                        cfg: EnvConfig, num_steps: int,
                        init_rand_steps: int,
-                       teacher_reward: jnp.ndarray, key):
+                       teacher_reward: jnp.ndarray, key,
+                       force_plane: bool = False):
     """Scan ``num_steps`` slots.  Returns
     (ts_state, (roll_t (2T,N), w_t, boot_t), (roll_s (4T,N), w_s, boot_s)).
     Stream records are chronological per game; weight-0 rows are bubbles.
     """
     N = ts.tcolor.shape[0]
+    eng = get_engine(cfg, force_plane)
 
     def student_ply(env, rand_left, env_keys, tcolor, pending_s):
         """One student ply where it's the student's turn: emit the previous
@@ -175,13 +157,13 @@ def collect_ts_rollout(params_t, params_s, apply_fn, ts: TSState,
         turn_now = (~env.terminated) & (env.turn == -tcolor)
         rec, w, pending_s = _emit(pending_s, jnp.zeros((N,)),
                                   jnp.zeros((N,), bool), turn_now)
-        env_keys, dk = _split_keys(env_keys)
-        obs, action, logp, value, legal = _decide(params_s, apply_fn, env,
-                                                  dk)
+        env_keys, dk = split_each(env_keys)
+        obs, action, logp, value, legal = _decide(params_s, apply_fn, eng,
+                                                  env, dk)
         pending_s = _set_pending(pending_s, turn_now, obs, action, logp,
                                  value, legal)
-        env, rand_left, env_keys = _masked_step(
-            env, rand_left, env_keys, action, turn_now, cfg)
+        env, rand_left, env_keys = masked_step(
+            eng, env, rand_left, env_keys, action, turn_now, cfg)
         return env, rand_left, env_keys, pending_s, (rec, w)
 
     def slot(carry, _):
@@ -200,7 +182,7 @@ def collect_ts_rollout(params_t, params_s, apply_fn, ts: TSState,
 
         # Phase B: terminal emissions for both roles.
         term = env.terminated
-        s_out = outcome_for(env.board, (-tcolor).astype(jnp.int8), cfg)
+        s_out = eng.outcome_for(env, (-tcolor).astype(jnp.int8), cfg)
         rec_t_term, w_t_term, pending_t = _emit(
             pending_t, jnp.broadcast_to(teacher_reward, (N,)),
             jnp.ones((N,), bool), term)
@@ -209,21 +191,9 @@ def collect_ts_rollout(params_t, params_s, apply_fn, ts: TSState,
         s_records.append((rec_s_term, w_s_term))
 
         # Phase C: reset finished games with fresh teacher colors.
-        env_keys, rk = _split_keys(env_keys)
-
-        def reset_one(key, state, rleft, tc, done):
-            k_rand, k_color = jax.random.split(key)
-            fresh = core.reset(cfg)
-            new_state = jax.tree.map(
-                lambda f, o: jnp.where(done, f, o), fresh, state)
-            new_rleft = jnp.where(done, draw_max_rand_steps(
-                k_rand, init_rand_steps), rleft)
-            new_tc = jnp.where(done, (jax.random.randint(
-                k_color, (), 0, 2) * 2 - 1).astype(jnp.int8), tc)
-            return new_state, new_rleft, new_tc
-
-        env, rand_left, tcolor = jax.vmap(reset_one)(
-            rk, env, rand_left, ts.tcolor, term)
+        env, rand_left, tcolor, env_keys = reset_done(
+            eng, env, rand_left, ts.tcolor, env_keys, term, cfg,
+            init_rand_steps)
 
         # Phase C2: student (black) opening ply of fresh games; also mops
         # up a rare triple-consecutive student move.
@@ -237,13 +207,13 @@ def collect_ts_rollout(params_t, params_s, apply_fn, ts: TSState,
         rec_t_pre, w_t_pre, pending_t = _emit(
             pending_t, jnp.zeros((N,)), jnp.zeros((N,), bool),
             teacher_turn)
-        env_keys, dk = _split_keys(env_keys)
-        obs, action, logp, value, legal = _decide(params_t, apply_fn, env,
-                                                  dk)
+        env_keys, dk = split_each(env_keys)
+        obs, action, logp, value, legal = _decide(params_t, apply_fn, eng,
+                                                  env, dk)
         pending_t = _set_pending(pending_t, teacher_turn, obs, action,
                                  logp, value, legal)
-        env, rand_left, env_keys = _masked_step(
-            env, rand_left, env_keys, action, teacher_turn, cfg)
+        env, rand_left, env_keys = masked_step(
+            eng, env, rand_left, env_keys, action, teacher_turn, cfg)
 
         new_ts = TSState(env=env, rand_left=rand_left, env_keys=env_keys,
                          tcolor=tcolor, pending_t=pending_t,
