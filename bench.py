@@ -8,10 +8,13 @@ Protocol (BASELINE.json configs[1]): 8x8 board, batch 4096, random legal
 actions, auto-reset, everything inside one jitted ``lax.scan`` so the chip
 never waits on the host.  Baseline target: 10M env-steps/s per v5e chip.
 
-Fast path measured: the bitboard-native vector env (envs/bit_vector_env.py)
-— state stays packed uint32 across the whole rollout (no plane pack/unpack
-per step) and random legal actions come from one randint + prefix-popcount
-bit-select per game instead of a (N, 64) gumbel categorical.
+Fast path measured: the fused whole-rollout Pallas kernel
+(ops/pallas_rollout.py) — packed uint32 game state lives in VMEM/registers,
+CHUNK plies per kernel, MEASURE_CHUNKS kernels chained inside ONE jitted
+scan (a single dispatch + host fetch for the whole measured region; through
+the axon tunnel each Python-level kernel dispatch costs ~3-4 ms and a host
+fetch ~20 ms, which used to dominate).  Fallback: the bitboard-native
+vector env (envs/bit_vector_env.py) under the same scan harness.
 
 Reliability: the axon TPU tunnel's first-transfer handshake wedges roughly
 half the time (see CLAUDE.md); the parent process therefore supervises the
@@ -29,9 +32,11 @@ import sys
 import time
 
 BATCH = 4096
-CHUNK = 512          # env-steps per device program
-WARMUP_CHUNKS = 2
-MEASURE_CHUNKS = 8
+CHUNK = 512           # env-steps per kernel invocation
+MEASURE_CHUNKS = 512  # one jitted scan over chunks = one dispatch + fetch;
+#   ~0.3 s measured region so the ~25 ms tunnel dispatch+fetch latency
+#   inflates the number by <10% (scripts/bench_scan_check.py validates
+#   linear scaling and episode counts)
 
 CHILD_TIMEOUT_S = 480
 MAX_ATTEMPTS = 4
@@ -61,42 +66,67 @@ def _child_main():
                                            length=num_steps)
         return state, key, dones.sum()
 
+    # Both paths time ONE dispatch + ONE host fetch for the whole measured
+    # region: through the axon tunnel a Python dispatch costs ~25 ms and a
+    # host fetch ~19 ms, which at ~5 ms of device work per 512-ply chunk
+    # would dominate the measurement (they did: 88M "steps/s" before this
+    # was restructured vs ~400M of actual kernel throughput).
+
     def run_scan_path():
         cfg = EnvConfig()
         key = jax.random.PRNGKey(0)
         key, k0 = jax.random.split(key)
-        state = bitvec_reset(k0, BATCH)
+        state0 = bitvec_reset(k0, BATCH)
         # Synchronize via host fetches, not block_until_ready (a no-op on
         # the axon backend); the tiny fetch absorbs the tunnel init BEFORE
         # any large program is queued.
-        np.asarray(state.core.black[0])
-        for _ in range(WARMUP_CHUNKS):
-            key, k = jax.random.split(key)
-            state, _, episodes = rollout_chunk(state, k, cfg, CHUNK)
-            int(episodes)
+        np.asarray(state0.core.black[0])
+
+        @functools.partial(jax.jit, static_argnames=("n_chunks",))
+        def measure(state, key, n_chunks):
+            def body(carry, k):
+                state, total = carry
+                state, _, episodes = rollout_chunk(state, k, cfg, CHUNK)
+                return (state, total + episodes), None
+            (state, total), _ = jax.lax.scan(
+                body, (state, jnp.int32(0)),
+                jax.random.split(key, n_chunks))
+            return state, total
+
+        # Warm up the EXACT measured program (n_chunks is a static arg — a
+        # different chunk count would compile inside the timed region).
+        key, kw, km = jax.random.split(key, 3)
+        state, total = measure(state0, kw, MEASURE_CHUNKS)
+        int(total)
         t0 = time.perf_counter()
-        for _ in range(MEASURE_CHUNKS):
-            key, k = jax.random.split(key)
-            state, _, episodes = rollout_chunk(state, k, cfg, CHUNK)
-            int(episodes)
+        state, total = measure(state, km, MEASURE_CHUNKS)
+        assert int(total) > 0
         return time.perf_counter() - t0
 
     def run_pallas_path():
         from gymothelloenv_tpu.ops.pallas_rollout import (rollout_chunk
                                                           as pr_chunk,
                                                           rollout_init)
+
+        @functools.partial(jax.jit, static_argnames=("n_chunks",))
+        def measure(state, seed0, n_chunks):
+            def body(carry, seed):
+                state, total = carry
+                state, episodes = pr_chunk(state, seed, CHUNK)
+                return (state, total + episodes), None
+            (state, total), _ = jax.lax.scan(
+                body, (state, jnp.int32(0)),
+                seed0 + jnp.arange(n_chunks, dtype=jnp.int32))
+            return state, total
+
         state = rollout_init(BATCH)
         np.asarray(state.cur[0])   # absorb the tunnel init
-        seed = 0
-        for _ in range(WARMUP_CHUNKS):
-            seed += 1
-            state, episodes = pr_chunk(state, jnp.int32(seed), CHUNK)
-            int(episodes)
+        # Warm up the EXACT measured program (see run_scan_path).
+        state, total = measure(state, jnp.int32(1), MEASURE_CHUNKS)
+        int(total)
         t0 = time.perf_counter()
-        for _ in range(MEASURE_CHUNKS):
-            seed += 1
-            state, episodes = pr_chunk(state, jnp.int32(seed), CHUNK)
-            int(episodes)
+        state, total = measure(state, jnp.int32(1000), MEASURE_CHUNKS)
+        assert int(total) > 0
         return time.perf_counter() - t0
 
     try:

@@ -65,11 +65,14 @@ def _ply_variant(c0, c1, o0, o1, l0, l1, r, variant):
     return c0n, c1n, o0n, o1n, l0n, l1n, done
 
 
-def make_chunk(num_steps, variant):
+def make_chunk(num_steps, variant, grid=None, unroll=1):
     def kernel(seed_ref, c0_ref, c1_ref, o0_ref, o1_ref, l0_ref, l1_ref,
                oc0_ref, oc1_ref, oo0_ref, oo1_ref, ol0_ref, ol1_ref,
                eps_ref):
-        pltpu.prng_seed(seed_ref[0, 0])
+        seed = seed_ref[0, 0]
+        if grid:
+            seed = seed + pl.program_id(0)
+        pltpu.prng_seed(seed)
 
         def body(i, carry):
             c0, c1, o0, o1, l0, l1, ep = carry
@@ -81,7 +84,7 @@ def make_chunk(num_steps, variant):
         init = (c0_ref[:], c1_ref[:], o0_ref[:], o1_ref[:],
                 l0_ref[:], l1_ref[:], jnp.zeros(c0_ref.shape, jnp.int32))
         c0, c1, o0, o1, l0, l1, ep = jax.lax.fori_loop(
-            0, num_steps, body, init)
+            0, num_steps, body, init, unroll=unroll)
         oc0_ref[:], oc1_ref[:] = c0, c1
         oo0_ref[:], oo1_ref[:] = o0, o1
         ol0_ref[:], ol1_ref[:] = l0, l1
@@ -89,19 +92,33 @@ def make_chunk(num_steps, variant):
 
     def chunk(state, seed):
         shape = state.cur[0].shape
-        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         word = jax.ShapeDtypeStruct(shape, jnp.uint32)
+        if grid:
+            cols = shape[1] // grid
+            vmem = pl.BlockSpec((shape[0], cols), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+            smem_in = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM)
+            smem_out = pl.BlockSpec((1, 1), lambda i: (0, i),
+                                    memory_space=pltpu.SMEM)
+            eps_shape = jax.ShapeDtypeStruct((1, grid), jnp.int32)
+            grid_kw = {"grid": (grid,)}
+        else:
+            vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+            smem_in = pl.BlockSpec(memory_space=pltpu.SMEM)
+            smem_out = pl.BlockSpec(memory_space=pltpu.SMEM)
+            eps_shape = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+            grid_kw = {}
         outs = pl.pallas_call(
             kernel,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 6,
-            out_specs=tuple([vmem] * 6
-                            + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
-            out_shape=tuple([word] * 6
-                            + [jax.ShapeDtypeStruct((1, 1), jnp.int32)]),
+            in_specs=[smem_in] + [vmem] * 6,
+            out_specs=tuple([vmem] * 6 + [smem_out]),
+            out_shape=tuple([word] * 6 + [eps_shape]),
+            **grid_kw,
         )(jnp.asarray(seed, jnp.int32).reshape(1, 1),
           state.cur[0], state.cur[1], state.opp[0], state.opp[1],
           state.legal[0], state.legal[1])
-        return outs[-1][0, 0]
+        return outs[-1].sum()
 
     return jax.jit(chunk)
 
@@ -110,19 +127,35 @@ def main():
     warmup()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     chunk_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    reps = 8
-    for variant in ("full", "nosample", "noflips", "nopass"):
-        fn = make_chunk(chunk_steps, variant)
+    reps = 256  # chunks chained in ONE jitted scan: a Python-level kernel
+    #             dispatch costs ~3-4 ms through the tunnel and would
+    #             otherwise dominate the ~0.5 ms kernel
+    configs = (
+        ("full", {}), ("nosample", {}), ("noflips", {}), ("nopass", {}),
+        ("full-grid2", {"grid": 2}), ("full-grid4", {"grid": 4}),
+        ("full-unroll2", {"unroll": 2}), ("full-unroll4", {"unroll": 4}),
+    )
+    for name, kw in configs:
+        variant = name.split("-")[0]
+        fn = make_chunk(chunk_steps, variant, **kw)
+
+        @jax.jit
+        def many(state, seed0):
+            def body(total, seed):
+                return total + fn(state, seed), None
+            total, _ = jax.lax.scan(
+                body, jnp.int32(0),
+                seed0 + jnp.arange(reps, dtype=jnp.int32))
+            return total
+
         state = rollout_init(batch)
-        int(fn(state, jnp.int32(1)))          # compile + sync
-        int(fn(state, jnp.int32(2)))
+        int(many(state, jnp.int32(1)))        # compile + sync
         t0 = time.perf_counter()
-        for i in range(reps):
-            eps = fn(state, jnp.int32(3 + i))
+        eps = many(state, jnp.int32(1000))
         int(eps)
         dt = (time.perf_counter() - t0) / reps
         rate = batch * chunk_steps / dt
-        print(f"{variant:9s}: {dt * 1e3:7.2f} ms/chunk -> "
+        print(f"{name:13s}: {dt * 1e3:7.2f} ms/chunk -> "
               f"{rate / 1e6:7.1f} M plies/s", flush=True)
 
 
