@@ -160,6 +160,36 @@ def rollout_init(num_games: int) -> RolloutState:
                         legal=(full(_INIT_L0), full(_INIT_L1)))
 
 
+def rollout_chunk_sharded(state: RolloutState, seed, num_steps: int,
+                          mesh, axis: str = "data",
+                          interpret: bool = False):
+    """Fused rollout over every device of ``mesh``: the game batch's lane
+    dimension is sharded over ``axis`` and each device runs its own kernel
+    on its shard — env stepping is embarrassingly parallel, so the only
+    collective is one ``psum`` for the episode count.  This is the
+    multi-chip composition of the headline bench (each shard should keep a
+    lane count that is a multiple of 128 for dense TPU tiles).  Per-device
+    PRNG streams are decorrelated by offsetting the seed with the device
+    index.  Returns (sharded new state, global episode count)."""
+    from jax.sharding import PartitionSpec as P
+
+    pair_spec = (P(None, axis), P(None, axis))
+    state_spec = RolloutState(cur=pair_spec, opp=pair_spec,
+                              legal=pair_spec)
+
+    def local(state, seed):
+        dev_seed = seed + jax.lax.axis_index(axis).astype(jnp.int32) * 7919
+        new_state, eps = rollout_chunk(state, dev_seed, num_steps,
+                                       interpret=interpret)
+        return new_state, jax.lax.psum(eps, axis)
+
+    # check_vma=False: pallas_call's out_shape structs carry no varying-
+    # mesh-axes annotation, which the checker would otherwise reject.
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(state_spec, P()),
+                       out_specs=(state_spec, P()), check_vma=False)
+    return fn(state, jnp.asarray(seed, jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("num_steps", "interpret"))
 def rollout_chunk(state: RolloutState, seed: jnp.ndarray, num_steps: int,
                   interpret: bool = False):

@@ -137,26 +137,34 @@ def main():
     )
     for name, kw in configs:
         variant = name.split("-")[0]
-        fn = make_chunk(chunk_steps, variant, **kw)
+        try:
+            run_config(name, variant, kw, batch, chunk_steps, reps)
+        except Exception as e:  # noqa: BLE001 — experimental configs may
+            #                     not lower (e.g. grid BlockSpecs)
+            print(f"{name:13s}: failed ({type(e).__name__})", flush=True)
 
-        @jax.jit
-        def many(state, seed0):
-            def body(total, seed):
-                return total + fn(state, seed), None
-            total, _ = jax.lax.scan(
-                body, jnp.int32(0),
-                seed0 + jnp.arange(reps, dtype=jnp.int32))
-            return total
 
-        state = rollout_init(batch)
-        int(many(state, jnp.int32(1)))        # compile + sync
-        t0 = time.perf_counter()
-        eps = many(state, jnp.int32(1000))
-        int(eps)
-        dt = (time.perf_counter() - t0) / reps
-        rate = batch * chunk_steps / dt
-        print(f"{name:13s}: {dt * 1e3:7.2f} ms/chunk -> "
-              f"{rate / 1e6:7.1f} M plies/s", flush=True)
+def run_config(name, variant, kw, batch, chunk_steps, reps):
+    fn = make_chunk(chunk_steps, variant, **kw)
+
+    @jax.jit
+    def many(state, seed0):
+        def body(total, seed):
+            return total + fn(state, seed), None
+        total, _ = jax.lax.scan(
+            body, jnp.int32(0),
+            seed0 + jnp.arange(reps, dtype=jnp.int32))
+        return total
+
+    state = rollout_init(batch)
+    int(many(state, jnp.int32(1)))        # compile + sync
+    t0 = time.perf_counter()
+    eps = many(state, jnp.int32(1000))
+    int(eps)
+    dt = (time.perf_counter() - t0) / reps
+    rate = batch * chunk_steps / dt
+    print(f"{name:13s}: {dt * 1e3:7.2f} ms/chunk -> "
+          f"{rate / 1e6:7.1f} M plies/s", flush=True)
 
 
 if __name__ == "__main__":

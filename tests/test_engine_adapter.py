@@ -31,18 +31,26 @@ def _linear_apply_fn(key, num_actions=64, planes=4, size=8):
 def _random_states(key, n, plies):
     """Batch of positions reached by ``plies`` random legal moves."""
     cfg = EnvConfig()
+
+    @jax.jit
+    def play(env, key):
+        def ply(env, k):
+            bits = bb.from_planes(env.board, env.turn, env.legal,
+                                  env.terminated, env.winner)
+            actions = bb.random_legal_bit(k, bits.legal)
+            new = jax.vmap(lambda s, a: core.step(s, a, cfg).state)(
+                env, actions)
+            env = jax.tree.map(
+                lambda nw, od: jnp.where(
+                    env.terminated.reshape((-1,) + (1,) * (nw.ndim - 1)),
+                    od, nw), new, env)
+            return env, None
+
+        env, _ = jax.lax.scan(ply, env, jax.random.split(key, plies))
+        return env
+
     env = jax.vmap(lambda _: core.reset(cfg))(jnp.arange(n))
-    for i in range(plies):
-        k = jax.random.fold_in(key, i)
-        bits = bb.from_planes(env.board, env.turn, env.legal,
-                              env.terminated, env.winner)
-        actions = bb.random_legal_bit(k, bits.legal)
-        new = jax.vmap(lambda s, a: core.step(s, a, cfg).state)(env, actions)
-        env = jax.tree.map(
-            lambda nw, od: jnp.where(
-                env.terminated.reshape((-1,) + (1,) * (nw.ndim - 1)),
-                od, nw), new, env)
-    return env
+    return play(env, key)
 
 
 def test_engine_selection():

@@ -87,3 +87,38 @@ def test_rollout_chunk_resumes_across_calls():
     np.testing.assert_array_equal(np.asarray(state.legal[0]),
                                   np.asarray(r0))
     assert int(e1) > 0 and int(e2) > 0
+
+
+def test_rollout_chunk_sharded_matches_per_device_runs():
+    """shard_map composition over the 8-device CPU mesh: every device runs
+    the kernel on its lane shard with a device-indexed seed; the result
+    must equal running the kernel shard-by-shard manually, and the episode
+    count must be the global psum."""
+    from gymothelloenv_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(8)     # ('data': 8, 'model': 1)
+    n, steps = 8 * 64, 80           # 8 lanes per device; >1 game length
+    state = pr.rollout_init(n)
+    out_state, eps = pr.rollout_chunk_sharded(
+        state, 5, steps, mesh, axis="data", interpret=True)
+
+    cols = state.cur[0].shape[1]
+    per = cols // 8
+    want_eps = 0
+    for d in range(8):
+        sl = slice(d * per, (d + 1) * per)
+        shard = pr.RolloutState(
+            cur=(state.cur[0][:, sl], state.cur[1][:, sl]),
+            opp=(state.opp[0][:, sl], state.opp[1][:, sl]),
+            legal=(state.legal[0][:, sl], state.legal[1][:, sl]))
+        got, e = pr.rollout_chunk(shard, jnp.int32(5 + d * 7919), steps,
+                                  interpret=True)
+        want_eps += int(e)
+        np.testing.assert_array_equal(np.asarray(out_state.cur[0][:, sl]),
+                                      np.asarray(got.cur[0]))
+        np.testing.assert_array_equal(np.asarray(out_state.opp[1][:, sl]),
+                                      np.asarray(got.opp[1]))
+        np.testing.assert_array_equal(
+            np.asarray(out_state.legal[0][:, sl]),
+            np.asarray(got.legal[0]))
+    assert int(eps) == want_eps > 0
