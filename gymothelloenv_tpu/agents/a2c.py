@@ -77,7 +77,7 @@ def a2c_update(params, opt_state, rollout: Transition,
     flat_ret = returns.reshape(-1)
 
     def loss_fn(params):
-        logits, values, _ = apply_fn(params, flat.obs)
+        logits, values, _ = apply_fn(params, flat.obs.astype(jnp.float32))
         dist = MaskedCategorical(logits=logits, mask=flat.legal)
         logp = dist.log_prob(flat.action)
         adv = flat_ret - values

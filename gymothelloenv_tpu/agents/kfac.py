@@ -207,7 +207,7 @@ def acktr_update(agent: ACKTRAgent, rollout: Transition,
     2. A2C loss gradients, KFAC-preconditioned step for both towers.
     ``rollout.obs`` must be flat (K, obs_dim); ``returns`` (K,).
     Returns (agent, metrics)."""
-    obs = rollout.obs
+    obs = rollout.obs.astype(jnp.float32)
     K = obs.shape[0]
 
     # --- Fisher statistics (sampled-label losses, a2c_acktr.py:53-68) ---

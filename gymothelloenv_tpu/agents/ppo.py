@@ -19,6 +19,7 @@ import optax
 from flax import struct
 
 from gymothelloenv_tpu.models.distributions import MaskedCategorical
+from gymothelloenv_tpu.ops.gather import gather_rows
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,7 +47,9 @@ class PPOConfig:
 @struct.dataclass
 class Transition:
     """One rollout slot, shapes (T, N, ...) after the collection scan."""
-    obs: jnp.ndarray      # (..., C, B, B) float32 featurized state
+    obs: jnp.ndarray      # (..., C, B, B) featurized planes; collectors
+    #                       store int8 ({0,1} planes) to cut minibatch
+    #                       gather bandwidth 4x — losses cast to float
     action: jnp.ndarray   # int32
     logp: jnp.ndarray     # float32 behaviour log-prob
     value: jnp.ndarray    # float32 behaviour value estimate
@@ -131,7 +134,7 @@ def ppo_loss(params, apply_fn: Callable, batch: Transition,
 
     ``weights`` (optional, per-sample 0/1) masks padded slots out of every
     term — used by rollouts with stream bubbles (teacher/student)."""
-    logits, values, _ = apply_fn(params, batch.obs)
+    logits, values, _ = apply_fn(params, batch.obs.astype(jnp.float32))
     dist = MaskedCategorical(logits=logits, mask=batch.legal)
     logp = dist.log_prob(batch.action)
 
@@ -210,7 +213,7 @@ def ppo_update(params, opt_state, rollout: Transition,
             params, opt_state = carry
             idx = jax.lax.dynamic_slice_in_dim(perm, mb_idx * mb_size,
                                                mb_size)
-            mb = jax.tree.map(lambda x: x[idx], flat)
+            mb = jax.tree.map(lambda x: gather_rows(x, idx), flat)
             grads, metrics = jax.grad(ppo_loss, has_aux=True)(
                 params, apply_fn, mb, flat_adv[idx], flat_ret[idx], cfg,
                 None if flat_w is None else flat_w[idx])

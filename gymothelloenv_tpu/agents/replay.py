@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from gymothelloenv_tpu.ops.gather import gather_rows
+
 
 @dataclasses.dataclass(frozen=True)
 class ReplayConfig:
@@ -121,5 +123,6 @@ def replay_update_priorities(rb: Replay, cfg: ReplayConfig,
 
 def replay_gather(rb: Replay, idx: jnp.ndarray):
     """Fetch a batch of raw transitions (boards/turn form)."""
-    return (rb.board[idx], rb.turn[idx], rb.action[idx], rb.reward[idx],
-            rb.next_board[idx], rb.next_turn[idx], rb.done[idx])
+    return (gather_rows(rb.board, idx), rb.turn[idx], rb.action[idx],
+            rb.reward[idx], gather_rows(rb.next_board, idx),
+            rb.next_turn[idx], rb.done[idx])

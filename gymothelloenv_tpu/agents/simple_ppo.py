@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from gymothelloenv_tpu.agents.ppo import Transition
+from gymothelloenv_tpu.ops.gather import gather_rows
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,7 +78,7 @@ def simple_ppo_update(params, opt_state, rollout: Transition,
     num_batches = max(1, total // mb_size)
 
     def loss_fn(params, mb, mb_ret):
-        logits, values, _ = apply_fn(params, mb.obs)
+        logits, values, _ = apply_fn(params, mb.obs.astype(jnp.float32))
         logp_all = jax.nn.log_softmax(logits, axis=-1)
         logp = jnp.take_along_axis(logp_all, mb.action[:, None],
                                    -1)[:, 0]
@@ -99,7 +100,7 @@ def simple_ppo_update(params, opt_state, rollout: Transition,
             params, opt_state = carry
             idx = jax.lax.dynamic_slice_in_dim(
                 perm, i * mb_size, mb_size)
-            mb = jax.tree.map(lambda x: x[idx], flat)
+            mb = jax.tree.map(lambda x: gather_rows(x, idx), flat)
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, mb, flat_ret[idx])
             updates, opt_state = optimizer.update(grads, opt_state, params)

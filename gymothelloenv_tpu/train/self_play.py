@@ -47,7 +47,9 @@ outcome_for = outcome_for_board
 
 @struct.dataclass
 class Pending:
-    obs: jnp.ndarray      # (N, C, B, B)
+    obs: jnp.ndarray      # (N, C, B, B) int8 — planes are {0,1}; stored
+    #                       narrow so the update's minibatch gathers move
+    #                       4x fewer bytes (ppo_loss casts to float)
     action: jnp.ndarray   # (N,)
     logp: jnp.ndarray     # (N,)
     value: jnp.ndarray    # (N,)
@@ -153,8 +155,8 @@ def protagonist_act(params, apply_fn, eng, env, rand_left, keys, cfg,
     num_envs = action.shape[0]
     env, rand_left, keys = masked_step(
         eng, env, rand_left, keys, action, jnp.ones((num_envs,), bool), cfg)
-    pending = Pending(obs=obs, action=action, logp=logp, value=value,
-                      legal=legal)
+    pending = Pending(obs=obs.astype(jnp.int8), action=action, logp=logp,
+                      value=value, legal=legal)
     return env, rand_left, keys, pending
 
 

@@ -81,8 +81,10 @@ class TSState:
 
 
 def _empty_pending(N, C, B, A):
+    # obs stored int8 ({0,1} planes) — see agents.ppo.Transition.
     return RolePending(
-        obs=jnp.zeros((N, C, B, B)), action=jnp.zeros((N,), jnp.int32),
+        obs=jnp.zeros((N, C, B, B), jnp.int8),
+        action=jnp.zeros((N,), jnp.int32),
         logp=jnp.zeros((N,)), value=jnp.zeros((N,)),
         legal=jnp.zeros((N, A), bool), valid=jnp.zeros((N,), bool))
 
@@ -116,7 +118,8 @@ def _set_pending(pending: RolePending, mask, obs, action, logp, value,
         return jnp.where(mask.reshape((-1,) + (1,) * (old.ndim - 1)), new,
                          old)
     return RolePending(
-        obs=sel(obs, pending.obs), action=sel(action, pending.action),
+        obs=sel(obs.astype(pending.obs.dtype), pending.obs),
+        action=sel(action, pending.action),
         logp=sel(logp, pending.logp), value=sel(value, pending.value),
         legal=sel(legal, pending.legal),
         valid=pending.valid | mask)
