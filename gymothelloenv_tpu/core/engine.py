@@ -18,10 +18,11 @@ import jax
 import jax.numpy as jnp
 
 from gymothelloenv_tpu.core import bitboard as bb
+from gymothelloenv_tpu.core import bitops
 from gymothelloenv_tpu.core import state as core
 from gymothelloenv_tpu.core.featurize import make_state
 from gymothelloenv_tpu.core.state import EnvConfig, OthelloState
-from gymothelloenv_tpu.policies.scripted import random_action
+from gymothelloenv_tpu.policies.scripted import greedy_action, random_action
 
 
 def outcome_for_board(board: jnp.ndarray, pcolor: jnp.ndarray,
@@ -84,6 +85,16 @@ class PlaneEngine:
         """Per-game-key uniform legal action; (N, 2) keys -> (N,) int32."""
         return jax.vmap(random_action)(keys, state.legal)
 
+    def board_turn(self, state: OthelloState):
+        """Raw signed int8 board (N, B, B) + turn (N,) — the replay/compat
+        representation (othello.py board convention)."""
+        return state.board, state.turn
+
+    def greedy(self, state: OthelloState) -> jnp.ndarray:
+        """Batched 1-ply greedy action (GreedyPolicy,
+        simple_policies.py:57-92)."""
+        return jax.vmap(greedy_action)(state)
+
     def outcome_for(self, state: OthelloState, pcolor,
                     cfg: EnvConfig) -> jnp.ndarray:
         return outcome_for_board(state.board, pcolor, cfg)
@@ -127,6 +138,25 @@ class BitEngine:
 
     def random_legal(self, keys, state: bb.BitState) -> jnp.ndarray:
         return jax.vmap(bb.random_legal_bit)(keys, state.legal)
+
+    def board_turn(self, state: bb.BitState):
+        """Unpack to the signed int8 board convention (replay/compat
+        layout); one unpack per ply, amortized against the net forward."""
+        return bb.to_board(state), state.turn
+
+    def greedy(self, state: bb.BitState) -> jnp.ndarray:
+        """Batched 1-ply greedy (GreedyPolicy, simple_policies.py:57-92):
+        argmax of per-cell flip counts over legal moves, ties to the lowest
+        action index — decision-identical to ``PlaneEngine.greedy``
+        (flip counts and legal masks agree bit-for-bit)."""
+        black = bb.unpack2(state.black)
+        white = bb.unpack2(state.white)
+        is_black = (state.turn == -1)[:, None, None]
+        mine = jnp.where(is_black, black, white)
+        opp = jnp.where(is_black, white, black)
+        flips = bitops.flip_counts(mine, opp).reshape(mine.shape[0], -1)
+        scores = jnp.where(self.legal_flat(state), flips, -(1 << 20))
+        return jnp.argmax(scores, axis=-1).astype(jnp.int32)
 
     def outcome_for(self, state: bb.BitState, pcolor,
                     cfg: EnvConfig) -> jnp.ndarray:

@@ -16,6 +16,11 @@ Modes: shared self-play (both colors learn into one agent — the batched
 generalization of DQN-vs-DQN run_2agent) or protagonist-vs-scripted
 (random/greedy opponent, protagonist color randomized per episode like
 run_2agent.py:94-97).
+
+Env interaction goes through ``core.engine`` — on 8x8 the game batch stays
+packed as uint32 bitboard word pairs across the collection scan; boards
+unpack to the replay's signed int8 layout only at transition-emission
+points.  ``DQNRunConfig.force_plane`` keeps the plane engine for A/B.
 """
 
 from __future__ import annotations
@@ -37,11 +42,10 @@ from gymothelloenv_tpu.agents.dqn import (DQNConfig, DQNState, dqn_act,
 from gymothelloenv_tpu.agents.nstep import NStepFifo, nstep_init, nstep_push
 from gymothelloenv_tpu.agents.replay import (Replay, ReplayConfig,
                                              replay_init, replay_insert)
-from gymothelloenv_tpu.core import state as core
-from gymothelloenv_tpu.core.state import EnvConfig, OthelloState
+from gymothelloenv_tpu.core.engine import get_engine
+from gymothelloenv_tpu.core.state import EnvConfig
 from gymothelloenv_tpu.policies.scripted import (greedy_action,
                                                  random_action)
-from gymothelloenv_tpu.train.self_play import outcome_for
 from gymothelloenv_tpu.train.tournament import (draw_max_rand_steps,
                                                 play_games_impl)
 from gymothelloenv_tpu.utils.checkpoint import (load_checkpoint,
@@ -59,6 +63,7 @@ class DQNRunConfig:
     test_interval: int = 50        # chunks
     save_interval: int = 200
     seed: int = 0
+    force_plane: bool = False      # keep the plane engine on 8x8 (A/B)
 
 
 @struct.dataclass
@@ -73,7 +78,7 @@ class PendingPair:
 
 @struct.dataclass
 class DQNRollState:
-    env: OthelloState
+    env: object                   # engine state pytree (BitState for 8x8)
     rand_left: jnp.ndarray
     env_keys: jnp.ndarray
     pcolor: jnp.ndarray           # int8 (N,) protagonist color (vs-scripted)
@@ -155,10 +160,11 @@ class DQNTrainer:
         n_step = dqn_cfg.n_step
         selfplay = run_cfg.opponent is None
         opponent = run_cfg.opponent
+        eng = get_engine(env_cfg, run_cfg.force_plane)
 
         def init_roll(key):
             key, k_env, k_color, k_rand = jax.random.split(key, 4)
-            env = jax.vmap(lambda _: core.reset(env_cfg))(jnp.arange(N))
+            env = eng.reset_batch(N, env_cfg)
             rand_left = jax.vmap(draw_max_rand_steps, in_axes=(0, None))(
                 jax.random.split(k_rand, N), run_cfg.init_rand_steps)
             pcolor = (jax.random.randint(k_color, (N,), 0, 2) * 2
@@ -182,9 +188,9 @@ class DQNTrainer:
 
         def scripted_act(env, keys):
             if opponent == "rand":
-                return jax.vmap(random_action)(keys, env.legal)
+                return eng.random_legal(keys, env)
             if opponent == "greedy":
-                return jax.vmap(greedy_action)(env)
+                return eng.greedy(env)
             raise ValueError(opponent)
 
         def push_color(fifo, c_idx, pending, mask, reward, done_flag,
@@ -212,19 +218,21 @@ class DQNTrainer:
                 key, k_act, k_opp = jax.random.split(key, 3)
                 env = roll.env
                 live = ~env.terminated
+                board, turn = eng.board_turn(env)
+                legal = eng.legal_flat(env)
                 fifo = roll.fifo
                 pending = roll.pending
                 ems = []
 
                 # 1. pre-action emission for the mover's color.
                 for c_idx, c_val in ((0, -1), (1, 1)):
-                    mask = (live & (env.turn == c_val)
+                    mask = (live & (turn == c_val)
                             & pending.valid[c_idx]
                             & learner_mask(roll, c_val))
                     fifo, em = push_color(
                         fifo, c_idx, pending, mask,
                         jnp.zeros((N,)), jnp.zeros((N,), bool),
-                        env.board, env.turn)
+                        board, turn)
                     ems.append(em)
                     pending = pending.replace(
                         valid=pending.valid.at[c_idx].set(
@@ -232,23 +240,23 @@ class DQNTrainer:
 
                 # 2. mover acts (epsilon-greedy learner / scripted).
                 learner_actions = self._agent_act(
-                    params, env.board, env.turn, env.legal, k_act, eps)
+                    params, board, turn, legal, k_act, eps)
                 if selfplay:
                     actions = learner_actions
                 else:
                     scripted = scripted_act(env, jax.random.split(k_opp, N))
-                    actions = jnp.where(env.turn == roll.pcolor,
+                    actions = jnp.where(turn == roll.pcolor,
                                         learner_actions, scripted)
 
                 for c_idx, c_val in ((0, -1), (1, 1)):
-                    mask = live & (env.turn == c_val) & learner_mask(
+                    mask = live & (turn == c_val) & learner_mask(
                         roll, c_val)
                     pending = PendingPair(
                         board=pending.board.at[c_idx].set(
-                            jnp.where(mask[:, None, None], env.board,
+                            jnp.where(mask[:, None, None], board,
                                       pending.board[c_idx])),
                         turn=pending.turn.at[c_idx].set(
-                            jnp.where(mask, env.turn,
+                            jnp.where(mask, turn,
                                       pending.turn[c_idx])),
                         action=pending.action.at[c_idx].set(
                             jnp.where(mask, actions,
@@ -258,33 +266,25 @@ class DQNTrainer:
 
                 # 3. step live games with the random-opening override.
                 env_keys, sub = _split_keys(roll.env_keys)
-
-                def one(k_rand, state, rleft, action, do):
-                    use_rand = (rleft > 0) & do
-                    exec_a = jnp.where(
-                        use_rand, random_action(k_rand, state.legal),
-                        action)
-                    res = core.step(state, exec_a, env_cfg)
-                    new_state = jax.tree.map(
-                        lambda nw, od: jnp.where(do, nw, od),
-                        res.state, state)
-                    return new_state, jnp.where(use_rand, rleft - 1, rleft)
-
-                env, rand_left = jax.vmap(one)(sub, env, roll.rand_left,
-                                               actions, live)
+                use_rand = (roll.rand_left > 0) & live
+                exec_a = jnp.where(use_rand, eng.random_legal(sub, env),
+                                   actions)
+                env = eng.step_where(env, exec_a, live, env_cfg)
+                rand_left = jnp.where(use_rand, roll.rand_left - 1,
+                                      roll.rand_left)
 
                 # 4. terminal emissions for both colors.
                 term_now = env.terminated & live
+                next_board, next_turn = eng.board_turn(env)
                 for c_idx, c_val in ((0, -1), (1, 1)):
-                    outcome = outcome_for(
-                        env.board, jnp.full((N,), c_val, jnp.int8),
-                        env_cfg)
+                    outcome = eng.outcome_for(
+                        env, jnp.full((N,), c_val, jnp.int8), env_cfg)
                     mask = (term_now & pending.valid[c_idx]
                             & learner_mask(roll, c_val))
                     fifo, em = push_color(
                         fifo, c_idx, pending, mask,
                         outcome * dqn_cfg.reward_scale,
-                        jnp.ones((N,), bool), env.board, env.turn)
+                        jnp.ones((N,), bool), next_board, next_turn)
                     ems.append(em)
                     pending = pending.replace(
                         valid=pending.valid.at[c_idx].set(
@@ -292,21 +292,16 @@ class DQNTrainer:
 
                 # 5. reset finished games.
                 env_keys, sub = _split_keys(env_keys)
-
-                def reset_one(key, state, rleft, pc, done):
-                    k_rand, k_color = jax.random.split(key)
-                    fresh = core.reset(env_cfg)
-                    new_state = jax.tree.map(
-                        lambda f, o: jnp.where(done, f, o), fresh, state)
-                    new_rleft = jnp.where(done, draw_max_rand_steps(
-                        k_rand, run_cfg.init_rand_steps), rleft)
-                    new_pc = jnp.where(
-                        done, (jax.random.randint(k_color, (), 0, 2) * 2
-                               - 1).astype(jnp.int8), pc)
-                    return new_state, new_rleft, new_pc
-
-                env, rand_left, pcolor = jax.vmap(reset_one)(
-                    sub, env, rand_left, roll.pcolor, term_now)
+                k_rand, k_color = _split_keys(sub)
+                env = eng.reset_where(env, term_now, env_cfg)
+                new_rleft = jax.vmap(draw_max_rand_steps,
+                                     in_axes=(0, None))(
+                    k_rand, run_cfg.init_rand_steps)
+                rand_left = jnp.where(term_now, new_rleft, rand_left)
+                new_pc = (jax.vmap(
+                    lambda k: jax.random.randint(k, (), 0, 2))(k_color)
+                    * 2 - 1).astype(jnp.int8)
+                pcolor = jnp.where(term_now, new_pc, roll.pcolor)
 
                 roll = DQNRollState(env=env, rand_left=rand_left,
                                     env_keys=env_keys, pcolor=pcolor,

@@ -53,3 +53,33 @@ def test_dqn_trainer_vs_scripted_chunk():
     # Only the protagonist color learns -> roughly half the transitions
     # of self-play per ply; still strictly growing across chunks.
     assert int(m2["transitions"]) > int(m1["transitions"]) > 0
+
+
+def test_dqn_bit_and_plane_collection_identical():
+    """The bit-engine collection path (8x8 default) must fill the replay
+    transition-for-transition identically to the plane path: same rules,
+    same RNG consumption order, greedy opponent decision-identical
+    (core/engine.py greedy parity)."""
+    replays = {}
+    for force_plane in (False, True):
+        cfg = DQNConfig(n_step=2, initial_replay_size=10**9, batch_size=16)
+        tr = DQNTrainer(
+            env_cfg=EnvConfig(num_disk_as_reward=True),
+            dqn_cfg=cfg,
+            rb_cfg=ReplayConfig(capacity=2048),
+            run_cfg=DQNRunConfig(num_envs=8, chunk_plies=24,
+                                 opponent="greedy", seed=3,
+                                 force_plane=force_plane),
+            log_fn=lambda step, m: None)
+        for _ in range(2):
+            _one_chunk(tr)
+        replays[force_plane] = (tr.replay, int(tr.agent.t))
+
+    (rb_bit, t_bit), (rb_plane, t_plane) = replays[False], replays[True]
+    assert t_bit == t_plane > 0
+    assert int(rb_bit.size) == int(rb_plane.size) > 0
+    for name in ("board", "turn", "action", "reward", "next_board",
+                 "next_turn", "done"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rb_bit, name)),
+            np.asarray(getattr(rb_plane, name)), err_msg=name)
