@@ -1,9 +1,17 @@
-"""Masked categorical action distribution.
+"""Action distributions.
 
-Replaces the reference's per-env Python loop that builds a
-``FixedCategorical`` over each env's legal-move logits
+``MaskedCategorical`` replaces the reference's per-env Python loop that
+builds a ``FixedCategorical`` over each env's legal-move logits
 (a2c_ppo_acktr/model.py:60-98, :156-178) with a single batched
 masked-softmax — the reference's main throughput sin, gone.
+
+``DiagNormal``/``BernoulliDist`` rebuild the vendored library's other two
+heads (``FixedNormal``/``FixedBernoulli`` + ``DiagGaussian``/``Bernoulli``
+modules, distributions.py:36-57, :75-109) used for continuous/binary
+action spaces: log-probs and entropies sum over the action dimension.
+Note: the reference's ``FixedNormal.entrop``/``FixedBernoulli.log_probs``
+call ``super.entropy()``/``super.log_prob`` without parentheses/instance —
+broken as shipped (known defect; rebuilt working, not reproduced).
 
 Semantics parity:
   * sampling/log-prob over the *legal* subset == softmax of logits with
@@ -71,3 +79,61 @@ class MaskedCategorical:
 
     def probs_masked(self) -> jnp.ndarray:
         return jax.nn.softmax(self.masked_logits, axis=-1)
+
+
+_LOG_2PI = 1.8378770664093453
+
+
+@struct.dataclass
+class DiagNormal:
+    """Independent Gaussian per action dimension (FixedNormal,
+    distributions.py:36-44): ``log_prob``/``entropy`` sum over the action
+    dim; ``mode`` is the mean."""
+    mean: jnp.ndarray     # (..., D)
+    log_std: jnp.ndarray  # (..., D) or broadcastable
+
+    def sample(self, key: jax.Array) -> jnp.ndarray:
+        return self.mean + jnp.exp(self.log_std) * jax.random.normal(
+            key, self.mean.shape, self.mean.dtype)
+
+    def mode(self) -> jnp.ndarray:
+        return self.mean
+
+    def log_prob(self, actions: jnp.ndarray) -> jnp.ndarray:
+        z = (actions - self.mean) * jnp.exp(-self.log_std)
+        per_dim = -0.5 * (z ** 2) - self.log_std - 0.5 * _LOG_2PI
+        return per_dim.sum(axis=-1)
+
+    def entropy(self) -> jnp.ndarray:
+        per_dim = 0.5 + 0.5 * _LOG_2PI + self.log_std
+        return jnp.broadcast_to(per_dim, self.mean.shape).sum(axis=-1)
+
+
+@struct.dataclass
+class BernoulliDist:
+    """Independent Bernoulli per output bit (FixedBernoulli,
+    distributions.py:48-57): ``log_prob``/``entropy`` sum over the last
+    dim; ``mode`` thresholds the probabilities at 0.5."""
+    logits: jnp.ndarray   # (..., D)
+
+    def probs(self) -> jnp.ndarray:
+        return jax.nn.sigmoid(self.logits)
+
+    def sample(self, key: jax.Array) -> jnp.ndarray:
+        return jax.random.bernoulli(
+            key, self.probs(), self.logits.shape).astype(jnp.float32)
+
+    def mode(self) -> jnp.ndarray:
+        return (self.probs() > 0.5).astype(jnp.float32)
+
+    def log_prob(self, actions: jnp.ndarray) -> jnp.ndarray:
+        # a*log(p) + (1-a)*log(1-p), numerically via log-sigmoid.
+        per_dim = (actions * jax.nn.log_sigmoid(self.logits)
+                   + (1.0 - actions) * jax.nn.log_sigmoid(-self.logits))
+        return per_dim.sum(axis=-1)
+
+    def entropy(self) -> jnp.ndarray:
+        p = self.probs()
+        per_dim = (jax.nn.softplus(-self.logits) * p
+                   + jax.nn.softplus(self.logits) * (1.0 - p))
+        return per_dim.sum(axis=-1)

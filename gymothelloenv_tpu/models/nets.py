@@ -14,6 +14,9 @@ Families:
     head, 1.0 critic), optional GRU recurrence (model.py:201-285).
   * ``MLPBase`` — 2x64 tanh actor/critic (model.py:317-348).
 
+  * ``DiagGaussianHead`` / ``BernoulliHead`` — the vendored library's
+    continuous/binary action heads (distributions.py:75-109).
+
 Conv trunk (shared shape across reference nets): conv(C->32, k3, s2, p1),
 conv(32->64, k2, valid), conv(64->64, k2, valid); for B=8 this flattens to
 256 features.
@@ -28,7 +31,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gymothelloenv_tpu.models.distributions import MaskedCategorical
+from gymothelloenv_tpu.models.distributions import (BernoulliDist,
+                                                    DiagNormal,
+                                                    MaskedCategorical)
 
 
 def _to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
@@ -186,6 +191,36 @@ class MLPBase(nn.Module):
         logits = nn.Dense(self.num_actions,
                           kernel_init=nn.initializers.orthogonal(0.01))(a)
         return logits, value[..., 0]
+
+
+class DiagGaussianHead(nn.Module):
+    """``DiagGaussian`` head (distributions.py:75-96): orthogonal(1.0)
+    mean projection + a state-independent learned log-std initialized to
+    zero (the reference's ``AddBias`` over zeros)."""
+    num_outputs: int
+
+    @nn.compact
+    def __call__(self, x):
+        mean = nn.Dense(self.num_outputs,
+                        kernel_init=nn.initializers.orthogonal(1.0),
+                        bias_init=nn.initializers.zeros)(x)
+        log_std = self.param("log_std", nn.initializers.zeros,
+                             (self.num_outputs,))
+        return DiagNormal(mean=mean,
+                          log_std=jnp.broadcast_to(log_std, mean.shape))
+
+
+class BernoulliHead(nn.Module):
+    """``Bernoulli`` head (distributions.py:99-109): orthogonal(1.0)
+    logit projection over independent bits."""
+    num_outputs: int
+
+    @nn.compact
+    def __call__(self, x):
+        logits = nn.Dense(self.num_outputs,
+                          kernel_init=nn.initializers.orthogonal(1.0),
+                          bias_init=nn.initializers.zeros)(x)
+        return BernoulliDist(logits=logits)
 
 
 def masked_dist(logits: jnp.ndarray, legal: jnp.ndarray) -> MaskedCategorical:

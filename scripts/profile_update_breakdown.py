@@ -123,6 +123,16 @@ def main():
 
     dt_full = timed(full_update, roll.obs)
 
+    # 5b. production layout: int8 obs in the rollout (collectors store
+    # {0,1} planes narrow; includes one f32->i8 cast per call, ~2 ms).
+    def full_update_i8(o):
+        p2, _, metrics = ppo_update(
+            params, opt_state, roll.replace(obs=o.astype(jnp.int8)),
+            boot, jax.random.PRNGKey(1), apply_fn, optimizer, ppo_cfg)
+        return metrics["value_loss"]
+
+    dt_full_i8 = timed(full_update_i8, roll.obs)
+
     # 6. minibatch gather alone (the permuted-index row gather every
     # minibatch step performs on the flat rollout)
     flat = jax.tree.map(
@@ -148,6 +158,26 @@ def main():
     dt_g2_int8 = timed(
         lambda o: (o.astype(jnp.int8)[idx]).astype(jnp.float32), obs2d)
 
+    # 6c. per-epoch shuffle: jax.random.permutation of T*N indices (the
+    # sort-based shuffle ppo_update runs once per epoch), data-dependent
+    # seed so the scan cannot hoist it.
+    def perm(o):
+        seed = (o[0, 0, 0, :2] * 4.0).astype(jnp.int32).sum()
+        return jax.random.permutation(
+            jax.random.fold_in(jax.random.PRNGKey(3), seed), T * N)
+
+    dt_perm = timed(perm, roll.obs)
+
+    # 6d. GAE on the (T, N) rollout (the once-per-update scan).
+    from gymothelloenv_tpu.agents.ppo import compute_gae
+
+    def gae(o):
+        r2 = roll.replace(obs=o)
+        adv, ret = compute_gae(r2, boot, ppo_cfg)
+        return adv.sum() + ret.sum() + o[0, 0, 0, 0]
+
+    dt_gae = timed(gae, roll.obs)
+
     # 7. gather + grad (one in-update minibatch step minus optimizer)
     def gather_grad(o):
         fl = flat.replace(obs=o.reshape((T * N,) + o.shape[2:]))
@@ -169,7 +199,10 @@ def main():
         "gather2d_obs_ms": round(dt_g2 * 1e3, 3),
         "gather2d_int8_obs_ms": round(dt_g2_int8 * 1e3, 3),
         "gather_grad_ms": round(dt_gather_grad * 1e3, 3),
+        "perm_ms": round(dt_perm * 1e3, 3),
+        "gae_ms": round(dt_gae * 1e3, 3),
         "full_update_ms": round(dt_full * 1e3, 3),
+        "full_update_int8_ms": round(dt_full_i8 * 1e3, 3),
         "grad_steps_per_update": ppo_cfg.ppo_epochs
         * ppo_cfg.num_mini_batch,
     }), flush=True)

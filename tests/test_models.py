@@ -82,3 +82,74 @@ def test_entropy_full_vs_masked():
                                rtol=1e-5)
     np.testing.assert_allclose(float(d.entropy_masked()[0]), np.log(2),
                                rtol=1e-5)
+
+
+def test_diag_normal_matches_torch():
+    """DiagNormal log_prob/entropy == torch.distributions.Normal with the
+    FixedNormal sum-over-action-dim convention (distributions.py:36-44;
+    the reference's own entropy method is typo-broken — ours works)."""
+    import torch
+    from gymothelloenv_tpu.models.distributions import DiagNormal
+
+    rng = np.random.RandomState(0)
+    mean = rng.randn(5, 3).astype(np.float32)
+    log_std = rng.randn(5, 3).astype(np.float32) * 0.3
+    actions = rng.randn(5, 3).astype(np.float32)
+
+    d = DiagNormal(mean=jnp.asarray(mean), log_std=jnp.asarray(log_std))
+    td = torch.distributions.Normal(torch.tensor(mean),
+                                    torch.tensor(np.exp(log_std)))
+    np.testing.assert_allclose(
+        np.asarray(d.log_prob(jnp.asarray(actions))),
+        td.log_prob(torch.tensor(actions)).sum(-1).numpy(), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(d.entropy()), td.entropy().sum(-1).numpy(), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(d.mode()), mean)
+    s = d.sample(jax.random.PRNGKey(1))
+    assert s.shape == mean.shape and np.isfinite(np.asarray(s)).all()
+
+
+def test_bernoulli_dist_matches_torch():
+    """BernoulliDist log_prob/entropy/mode == torch.distributions.Bernoulli
+    with the FixedBernoulli sum-over-last-dim convention
+    (distributions.py:48-57)."""
+    import torch
+    from gymothelloenv_tpu.models.distributions import BernoulliDist
+
+    rng = np.random.RandomState(1)
+    logits = (rng.randn(4, 6) * 2).astype(np.float32)
+    actions = (rng.rand(4, 6) > 0.5).astype(np.float32)
+
+    d = BernoulliDist(logits=jnp.asarray(logits))
+    td = torch.distributions.Bernoulli(logits=torch.tensor(logits))
+    np.testing.assert_allclose(
+        np.asarray(d.log_prob(jnp.asarray(actions))),
+        td.log_prob(torch.tensor(actions)).sum(-1).numpy(), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(d.entropy()), td.entropy().sum(-1).numpy(),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(d.mode()),
+        (torch.sigmoid(torch.tensor(logits)) > 0.5).float().numpy())
+    s = d.sample(jax.random.PRNGKey(2))
+    assert set(np.unique(np.asarray(s))) <= {0.0, 1.0}
+
+
+def test_gaussian_and_bernoulli_heads_init_and_apply():
+    """DiagGaussianHead: zero-init log_std and orthogonal mean projection
+    (DiagGaussian, distributions.py:75-96); BernoulliHead applies."""
+    from gymothelloenv_tpu.models import BernoulliHead, DiagGaussianHead
+
+    x = jnp.ones((7, 16))
+    gh = DiagGaussianHead(num_outputs=4)
+    params = gh.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["log_std"]), np.zeros(4))
+    dist = gh.apply(params, x)
+    assert dist.mean.shape == (7, 4)
+    assert float(dist.entropy()[0]) > 0
+
+    bh = BernoulliHead(num_outputs=5)
+    bp = bh.init(jax.random.PRNGKey(1), x)
+    bdist = bh.apply(bp, x)
+    assert bdist.logits.shape == (7, 5)
