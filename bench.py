@@ -104,28 +104,20 @@ def _child_main():
         return time.perf_counter() - t0
 
     def run_pallas_path():
-        from gymothelloenv_tpu.ops.pallas_rollout import (rollout_chunk
-                                                          as pr_chunk,
-                                                          rollout_init)
-
-        @functools.partial(jax.jit, static_argnames=("n_chunks",))
-        def measure(state, seed0, n_chunks):
-            def body(carry, seed):
-                state, total = carry
-                state, episodes = pr_chunk(state, seed, CHUNK)
-                return (state, total + episodes), None
-            (state, total), _ = jax.lax.scan(
-                body, (state, jnp.int32(0)),
-                seed0 + jnp.arange(n_chunks, dtype=jnp.int32))
-            return state, total
+        # Canonical single-dispatch harness lives next to the kernel
+        # (ops/pallas_rollout.rollout_chunks_scanned).
+        from gymothelloenv_tpu.ops.pallas_rollout import (
+            rollout_chunks_scanned, rollout_init)
 
         state = rollout_init(BATCH)
         np.asarray(state.cur[0])   # absorb the tunnel init
         # Warm up the EXACT measured program (see run_scan_path).
-        state, total = measure(state, jnp.int32(1), MEASURE_CHUNKS)
+        state, total = rollout_chunks_scanned(state, 1, MEASURE_CHUNKS,
+                                              CHUNK)
         int(total)
         t0 = time.perf_counter()
-        state, total = measure(state, jnp.int32(1000), MEASURE_CHUNKS)
+        state, total = rollout_chunks_scanned(state, 1000, MEASURE_CHUNKS,
+                                              CHUNK)
         assert int(total) > 0
         return time.perf_counter() - t0
 

@@ -69,14 +69,17 @@ def main(argv=None):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    if not 0.0 <= args.smooth < 1.0:
+        parser.error(f"--smooth must be in [0, 1), got {args.smooth}")
+
     runs = {r: load_run(r) for r in args.runs}
-    first = next(iter(runs.values()))
-    metrics = args.metrics or sorted(first)
-    missing = [m for m in metrics if m not in first]
+    all_metrics = sorted({m for s in runs.values() for m in s})
+    metrics = args.metrics or all_metrics
+    missing = [m for m in metrics if m not in all_metrics]
     if missing:
-        print(f"warning: metrics absent from {args.runs[0]}: {missing}",
+        print(f"warning: metrics absent from every run: {missing}",
               file=sys.stderr)
-    metrics = [m for m in metrics if any(m in s for s in runs.values())]
+    metrics = [m for m in metrics if m in all_metrics]
     if not metrics:
         print("no plottable metrics found", file=sys.stderr)
         return 1

@@ -215,3 +215,27 @@ def rollout_chunk(state: RolloutState, seed: jnp.ndarray, num_steps: int,
     c0, c1, o0, o1, l0, l1, eps = outs
     return RolloutState(cur=(c0, c1), opp=(o0, o1),
                         legal=(l0, l1)), eps[0, 0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_chunks", "num_steps", "interpret"))
+def rollout_chunks_scanned(state: RolloutState, seed0, n_chunks: int,
+                           num_steps: int, interpret: bool = False):
+    """Chain ``n_chunks`` fused rollout chunks inside ONE jitted scan —
+    one dispatch + one fetch for the whole region.  This is the canonical
+    measurement harness (bench.py, scripts/bench_scan_check.py): through
+    the axon tunnel a Python-level kernel dispatch costs ~3-4 ms and a
+    host fetch ~20 ms, so timing per-chunk calls measures the tunnel, not
+    the chip (RESULTS.md).  Chunk ``i`` uses seed ``seed0 + i``.  Returns
+    (new_state, total_episodes)."""
+    def body(carry, seed):
+        state, total = carry
+        state, eps = rollout_chunk(state, seed, num_steps,
+                                   interpret=interpret)
+        return (state, total + eps), None
+
+    (state, total), _ = jax.lax.scan(
+        body, (state, jnp.int32(0)),
+        jnp.asarray(seed0, jnp.int32)
+        + jnp.arange(n_chunks, dtype=jnp.int32))
+    return state, total

@@ -44,8 +44,7 @@ from gymothelloenv_tpu.agents.replay import (Replay, ReplayConfig,
                                              replay_init, replay_insert)
 from gymothelloenv_tpu.core.engine import get_engine
 from gymothelloenv_tpu.core.state import EnvConfig
-from gymothelloenv_tpu.policies.scripted import (greedy_action,
-                                                 random_action)
+from gymothelloenv_tpu.policies.scripted import greedy_action, random_action
 from gymothelloenv_tpu.train.tournament import (draw_max_rand_steps,
                                                 play_games_impl)
 from gymothelloenv_tpu.utils.checkpoint import (load_checkpoint,

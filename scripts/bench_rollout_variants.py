@@ -141,7 +141,9 @@ def main():
             run_config(name, variant, kw, batch, chunk_steps, reps)
         except Exception as e:  # noqa: BLE001 — experimental configs may
             #                     not lower (e.g. grid BlockSpecs)
-            print(f"{name:13s}: failed ({type(e).__name__})", flush=True)
+            first_line = str(e).splitlines()[0] if str(e) else ""
+            print(f"{name:13s}: failed ({type(e).__name__}: "
+                  f"{first_line[:120]})", flush=True)
 
 
 def run_config(name, variant, kw, batch, chunk_steps, reps):

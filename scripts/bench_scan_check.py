@@ -3,30 +3,21 @@ with the number of chained chunks, and the episode count must match the
 ~60-ply mean game length.  Guards against non-blocking host fetches on the
 axon tunnel producing fantasy throughput numbers."""
 
-import functools
 import time
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gymothelloenv_tpu.ops.pallas_rollout import rollout_chunk, rollout_init
+from gymothelloenv_tpu.ops.pallas_rollout import (rollout_chunks_scanned,
+                                                  rollout_init)
 from gymothelloenv_tpu.utils.tpu import warmup
 
 BATCH = 4096
 CHUNK = 512
 
 
-@functools.partial(jax.jit, static_argnames=("n_chunks",))
 def measure(state, seed0, n_chunks):
-    def body(carry, seed):
-        state, total = carry
-        state, episodes = rollout_chunk(state, seed, CHUNK)
-        return (state, total + episodes), None
-    (state, total), _ = jax.lax.scan(
-        body, (state, jnp.int32(0)),
-        seed0 + jnp.arange(n_chunks, dtype=jnp.int32))
-    return state, total
+    return rollout_chunks_scanned(state, seed0, n_chunks, CHUNK)
 
 
 def main():

@@ -122,3 +122,23 @@ def test_rollout_chunk_sharded_matches_per_device_runs():
             np.asarray(out_state.legal[0][:, sl]),
             np.asarray(got.legal[0]))
     assert int(eps) == want_eps > 0
+
+
+def test_rollout_chunks_scanned_matches_sequential_chunks():
+    """The single-dispatch scan harness == sequential rollout_chunk calls
+    with seeds seed0+i (the bench.py measurement path)."""
+    n, steps, chunks = 128, 40, 3
+    state0 = pr.rollout_init(n)
+    got, total = pr.rollout_chunks_scanned(state0, 9, chunks, steps,
+                                           interpret=True)
+    want = pr.rollout_init(n)
+    want_total = 0
+    for i in range(chunks):
+        want, eps = pr.rollout_chunk(want, jnp.int32(9 + i), steps,
+                                     interpret=True)
+        want_total += int(eps)
+    np.testing.assert_array_equal(np.asarray(got.cur[0]),
+                                  np.asarray(want.cur[0]))
+    np.testing.assert_array_equal(np.asarray(got.legal[1]),
+                                  np.asarray(want.legal[1]))
+    assert int(total) == want_total > 0
