@@ -135,6 +135,17 @@ def ppo_loss(params, apply_fn: Callable, batch: Transition,
     ``weights`` (optional, per-sample 0/1) masks padded slots out of every
     term — used by rollouts with stream bubbles (teacher/student)."""
     logits, values, _ = apply_fn(params, batch.obs.astype(jnp.float32))
+    return ppo_loss_terms(logits, values, batch, advantages, returns,
+                          cfg, weights)
+
+
+def ppo_loss_terms(logits: jnp.ndarray, values: jnp.ndarray,
+                   batch: Transition, advantages: jnp.ndarray,
+                   returns: jnp.ndarray, cfg: PPOConfig,
+                   weights: jnp.ndarray | None = None):
+    """The loss given precomputed network outputs — shared by the
+    feed-forward path (``ppo_loss``) and the recurrent path, which
+    produces ``logits``/``values`` by replaying a GRU over time."""
     dist = MaskedCategorical(logits=logits, mask=batch.legal)
     logp = dist.log_prob(batch.action)
 
@@ -217,6 +228,97 @@ def ppo_update(params, opt_state, rollout: Transition,
             grads, metrics = jax.grad(ppo_loss, has_aux=True)(
                 params, apply_fn, mb, flat_adv[idx], flat_ret[idx], cfg,
                 None if flat_w is None else flat_w[idx])
+            if grad_reduce is not None:
+                grads = grad_reduce(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            minibatch, (params, opt_state),
+            jnp.arange(cfg.num_mini_batch))
+        return (params, opt_state), metrics
+
+    (params, opt_state), metrics = jax.lax.scan(
+        epoch, (params, opt_state),
+        jax.random.split(key, cfg.ppo_epochs))
+    metrics = jax.tree.map(lambda m: m.mean(), metrics)
+    return params, opt_state, metrics
+
+
+def ppo_update_recurrent(params, opt_state, rollout: Transition,
+                         h0: jnp.ndarray, masks: jnp.ndarray,
+                         bootstrap_value: jnp.ndarray, key: jax.Array,
+                         apply_fn: Callable,
+                         optimizer: optax.GradientTransformation,
+                         cfg: PPOConfig,
+                         grad_reduce: Callable | None = None):
+    """Recurrent PPO update — the vendored ``recurrent_generator`` path
+    (storage.py:159-216 driven by algo/ppo.py:41-48 with
+    ``recurrent_hidden_state_size > 1``), rebuilt working.
+
+    Minibatches are ENV subsets (``N // num_mini_batch`` envs each,
+    storage.py:160-170); every grad step replays the recurrent core over
+    the full ``T`` steps from each env's rollout-start hidden state,
+    zeroing the state where ``masks == 0`` (episode boundaries,
+    ``NNBase._forward_gru`` model.py:230-285).
+
+    NOTE: the fork hard-errors on this path for masked actions
+    (algo/ppo.py:44-46 ``raise ValueError('Not available with possible
+    actions now.')``) because its per-env Python choices lists cannot be
+    re-batched; our batched ``MaskedCategorical`` has no such limit, so
+    legal-move masking works here (rebuilt+fixed divergence).
+
+    Args:
+      rollout: (T, N, ...) transitions.
+      h0: (N, H) hidden states at the rollout's first step.
+      masks: (T, N) float 0/1 — 0 resets the hidden state BEFORE step t
+        consumes obs[t] (i.e. ``masks[t] = 1 - done[t-1]``, masks[0]
+        refers to the validity of ``h0``).
+      apply_fn: ``(params, obs_t, h, mask_t) -> (logits, value, h)``.
+    """
+    adv, returns = compute_gae(rollout, bootstrap_value, cfg)
+    adv = (adv - adv.mean()) / (adv.std() + 1e-5)
+
+    T, N = rollout.reward.shape
+    if N % cfg.num_mini_batch:
+        raise ValueError(
+            f"num_envs ({N}) must divide by num_mini_batch "
+            f"({cfg.num_mini_batch}) for the recurrent generator")
+    envs_mb = N // cfg.num_mini_batch
+
+    def epoch(carry, epoch_key):
+        params, opt_state = carry
+        perm = jax.random.permutation(epoch_key, N)
+
+        def minibatch(carry, mb_idx):
+            params, opt_state = carry
+            idx = jax.lax.dynamic_slice_in_dim(perm, mb_idx * envs_mb,
+                                               envs_mb)
+            mb = jax.tree.map(lambda x: jnp.take(x, idx, axis=1), rollout)
+            mb_adv = jnp.take(adv, idx, axis=1).reshape(-1)
+            mb_ret = jnp.take(returns, idx, axis=1).reshape(-1)
+            mb_h0 = h0[idx]
+            mb_masks = jnp.take(masks, idx, axis=1)
+
+            def loss_fn(params):
+                obs = mb.obs.astype(jnp.float32)
+
+                def step(h, inp):
+                    obs_t, mask_t = inp
+                    logits_t, value_t, h = apply_fn(params, obs_t, h,
+                                                    mask_t)
+                    return h, (logits_t, value_t)
+
+                _, (logits, values) = jax.lax.scan(
+                    step, mb_h0, (obs, mb_masks))
+                flat = jax.tree.map(
+                    lambda x: x.reshape((T * envs_mb,) + x.shape[2:]), mb)
+                return ppo_loss_terms(
+                    logits.reshape(T * envs_mb, -1), values.reshape(-1),
+                    flat, mb_adv, mb_ret, cfg, None)
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
             if grad_reduce is not None:
                 grads = grad_reduce(grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
