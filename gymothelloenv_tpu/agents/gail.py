@@ -142,14 +142,28 @@ def gail_predict_reward(state: GAILState, cfg: GAILConfig,
     return new_state, reward / jnp.sqrt(ret_rms.var + 1e-8)
 
 
+def _load_trajectories(file_name: str):
+    """npz with 'states'/'actions'/'lengths', or raw h5 in the reference's
+    schema (obs_B_T_Do / a_B_T_Da / len_B — the input of
+    gail_experts/convert_to_pytorch.py:29-47)."""
+    if file_name.endswith((".h5", ".hdf5")):
+        import h5py
+        with h5py.File(file_name, "r") as f:
+            return {"states": np.asarray(f["obs_B_T_Do"]),
+                    "actions": np.asarray(f["a_B_T_Da"]),
+                    "lengths": np.asarray(f["len_B"])}
+    return np.load(file_name)
+
+
 class ExpertDataset:
     """Trajectory container with random-phase subsampling
     (gail.py:114-167).  Loads .npz with arrays 'states' (K, T, D),
-    'actions' (K, T, ...), 'lengths' (K,)."""
+    'actions' (K, T, ...), 'lengths' (K,), or the reference's raw .h5
+    trajectory files directly (no conversion step needed)."""
 
     def __init__(self, file_name: str, num_trajectories: int = 4,
                  subsample_frequency: int = 20, seed: int = 0):
-        data = np.load(file_name)
+        data = _load_trajectories(file_name)
         rng = np.random.RandomState(seed)
         K = data["states"].shape[0]
         idx = rng.permutation(K)[:num_trajectories]

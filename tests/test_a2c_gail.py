@@ -95,3 +95,31 @@ def test_expert_dataset_subsampling(tmp_path):
     assert len(ds) == 3 * (T // 10)
     s, a = ds.sample(rng, 16)
     assert s.shape == (16, D) and a.shape == (16,)
+
+
+def test_expert_dataset_reads_reference_h5_schema(tmp_path):
+    """ExpertDataset consumes the reference's raw h5 trajectory layout
+    (obs_B_T_Do/a_B_T_Da/len_B, convert_to_pytorch.py:29-47) directly and
+    identically to the converted npz."""
+    import h5py
+    from gymothelloenv_tpu.agents.gail import ExpertDataset
+
+    K, T, D = 5, 24, 6
+    rng = np.random.RandomState(3)
+    states = rng.randn(K, T, D).astype(np.float32)
+    actions = rng.randn(K, T, 2).astype(np.float32)
+    h5 = str(tmp_path / "trajs.h5")
+    with h5py.File(h5, "w") as f:
+        f["obs_B_T_Do"] = states
+        f["a_B_T_Da"] = actions
+        f["r_B_T"] = rng.randn(K, T).astype(np.float32)
+        f["len_B"] = np.full(K, T, np.int64)
+    npz = str(tmp_path / "trajs.npz")
+    np.savez(npz, states=states, actions=actions,
+             lengths=np.full(K, T, np.int64))
+
+    ds_h5 = ExpertDataset(h5, num_trajectories=3, subsample_frequency=4)
+    ds_npz = ExpertDataset(npz, num_trajectories=3, subsample_frequency=4)
+    assert len(ds_h5) == len(ds_npz) > 0
+    np.testing.assert_array_equal(ds_h5.states, ds_npz.states)
+    np.testing.assert_array_equal(ds_h5.actions, ds_npz.actions)
