@@ -1,0 +1,34 @@
+"""Real 2-process jax.distributed run on CPU (gloo over localhost) — the
+multi-host mechanics the reference never had (SURVEY.md §2.3: its only
+"distributed" layer is mp.Pipe).  Spawns two worker processes, each a
+"host" with 4 virtual devices, and checks cluster handshake, global batch
+assembly from host-local shards, and the cross-process gradient
+reduction (tests/multihost_worker.py)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_cluster():
+    port = str(_free_port())
+    env = {**os.environ, "PYTHONPATH": REPO}
+    env.pop("JAX_PLATFORMS", None)   # workers set their own backend
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(pid), port],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in (0, 1)]
+    outs = [p.communicate(timeout=150)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out}"
+        assert f"OK proc{pid}" in out, out
