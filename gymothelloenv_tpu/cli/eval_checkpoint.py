@@ -6,6 +6,11 @@ entry for the BASELINE.json headline "PPO self-play win-rate vs Maximin-2".
 Usage:
     python -m gymothelloenv_tpu.cli.eval_checkpoint \
         --load data/ppo_tpu_run.msgpack --opponent maximin-2 --games 200
+
+``--load`` also accepts REFERENCE torch checkpoints (.pth/.pt — a saved
+``actor_critic`` module or a util.save dict of the vendored Policy); the
+weights are converted via ``compat.torch_import`` so users can evaluate
+models trained with the original code on TPU directly.
 """
 
 from __future__ import annotations
@@ -43,10 +48,16 @@ def main(argv=None):
     cfg = EnvConfig(board_size=args.board_size)
     net = make_network(cfg)
     apply_fn = make_apply_fn(net)
-    dummy = jnp.zeros((1, 4, cfg.board_size, cfg.board_size))
-    template = net.init(jax.random.PRNGKey(0), dummy)
-    step, params, _, _ = load_checkpoint(args.load, template, None)
-    print(f"loaded {args.load} (step {step})")
+    if args.load.endswith((".pth", ".pt")):
+        from gymothelloenv_tpu.compat.torch_import import (
+            import_policy_net, load_torch_checkpoint)
+        params = import_policy_net(load_torch_checkpoint(args.load))
+        print(f"imported reference torch checkpoint {args.load}")
+    else:
+        dummy = jnp.zeros((1, 4, cfg.board_size, cfg.board_size))
+        template = net.init(jax.random.PRNGKey(0), dummy)
+        step, params, _, _ = load_checkpoint(args.load, template, None)
+        print(f"loaded {args.load} (step {step})")
 
     opp = policy_from_spec(args.opponent, cfg)
     n = args.games // 2
