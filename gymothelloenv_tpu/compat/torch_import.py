@@ -128,3 +128,35 @@ def load_torch_checkpoint(path: str):
     util.save dict) for one of the ``import_*`` functions."""
     import torch
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _inv_perm(perm: np.ndarray) -> np.ndarray:
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return inv
+
+
+def export_policy_net(params, board_size: int = 8) -> dict:
+    """The reverse direction: flax ``PolicyNet`` params -> a state_dict
+    (numpy values) loadable by the reference's vendored ``Policy``
+    (model.py:288-314) with ``strict=False`` — users can take models
+    trained here back to the original code.  Exact inverse of
+    ``import_policy_net`` (round-trip tested)."""
+    p = params["params"]
+    trunk = p["ConvTrunk_0"]
+    sd = {}
+    for i, key in enumerate(["base.main.0", "base.main.2", "base.main.4"]):
+        sd[f"{key}.weight"] = np.asarray(
+            trunk[f"Conv_{i}"]["kernel"]).transpose(3, 2, 0, 1)
+        sd[f"{key}.bias"] = np.asarray(trunk[f"Conv_{i}"]["bias"])
+    s = (board_size + 1) // 2 - 2
+    inv = _inv_perm(_flatten_perm(s, s, 64))
+    sd["base.main.7.weight"] = np.asarray(
+        p["Dense_0"]["kernel"])[inv].T.copy()
+    sd["base.main.7.bias"] = np.asarray(p["Dense_0"]["bias"])
+    sd["base.critic_linear.weight"] = np.asarray(
+        p["Dense_1"]["kernel"]).T.copy()
+    sd["base.critic_linear.bias"] = np.asarray(p["Dense_1"]["bias"])
+    sd["dist.linear.weight"] = np.asarray(p["Dense_2"]["kernel"]).T.copy()
+    sd["dist.linear.bias"] = np.asarray(p["Dense_2"]["bias"])
+    return sd

@@ -162,3 +162,28 @@ def test_actor_critic_import_forward_equivalence_and_util_save_layout():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(value), tv.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_policy_net_export_roundtrip():
+    """export_policy_net is the exact inverse of import_policy_net, and a
+    live torch Policy loaded with the export reproduces the flax
+    outputs."""
+    from gymothelloenv_tpu.compat.torch_import import export_policy_net
+
+    torch.manual_seed(5)
+    src = TorchCNNPolicy()
+    params = import_policy_net(src.state_dict())
+    sd = export_policy_net(params)
+    for k, v in src.state_dict().items():
+        np.testing.assert_allclose(sd[k], v.numpy(), rtol=1e-6,
+                                   err_msg=k)
+    dst = TorchCNNPolicy()
+    dst.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
+    x = _obs(jax.random.PRNGKey(6), 3, 4)
+    logits, value, _ = PolicyNet(num_actions=64).apply(params, x)
+    with torch.no_grad():
+        tl, tv = dst(_torch_of(x))
+    np.testing.assert_allclose(np.asarray(logits), tl.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(value), tv.numpy(),
+                               rtol=1e-4, atol=1e-5)
