@@ -1,0 +1,169 @@
+"""GAIL-PPO trainer — the vendored ``main.py`` GAIL wiring (main.py:141-162)
+made to work: per update, K discriminator steps on (expert, policy)
+state-action batches, then every rollout reward is RELABELED with the
+discriminator's ``log s - log(1-s)`` signal (return-std normalized) before
+the usual GAE + PPO update.  Dead in the reference (the empty baselines
+submodule kills gail.py's imports); working here.
+
+Self-play collection provides the policy occupancy samples; the expert is
+an ``ExpertDataset`` npz/h5 (scripts/make_expert_dataset.py generates one
+from a scripted expert, e.g. maximin-2).  Discriminator inputs are
+``[flattened make_state planes, one-hot action]`` pairs (gail.py:12-28
+concatenates state and action the same way).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymothelloenv_tpu.agents.gail import (ExpertDataset, GAILConfig,
+                                           gail_discriminator_update,
+                                           gail_init, gail_predict_reward)
+from gymothelloenv_tpu.agents.ppo import ppo_update
+from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
+                                                 SelfPlayConfig)
+from gymothelloenv_tpu.train.self_play import collect_rollout
+
+
+@dataclasses.dataclass(frozen=True)
+class GAILRunConfig:
+    gail_epoch: int = 5            # discriminator steps per update
+    #                                (arguments.py --gail-epoch default)
+    gail_batch_size: int = 128     # args.gail_batch_size
+    num_trajectories: int = 4      # ExpertDataset defaults (gail.py:117)
+    subsample_frequency: int = 4   # reference default 20 is for 1000-step
+    #                                MuJoCo episodes; Othello games are
+    #                                ~60 plies
+
+
+class GAILPPOTrainer(PPOSelfPlayTrainer):
+    """PPO self-play where the environment reward is replaced by the GAIL
+    discriminator signal (main.py:141-155)."""
+
+    def __init__(self, expert_path: str, gail_cfg: GAILConfig = None,
+                 gail_run: GAILRunConfig = None, **kw):
+        super().__init__(**kw)
+        self.gail_run = gail_run or GAILRunConfig()
+        self.gail_cfg = gail_cfg or GAILConfig(gamma=self.ppo_cfg.gamma)
+        self.expert = ExpertDataset(
+            expert_path, num_trajectories=self.gail_run.num_trajectories,
+            subsample_frequency=self.gail_run.subsample_frequency)
+        self.np_rng = np.random.RandomState(self.run_cfg.seed)
+
+        B = self.env_cfg.board_size
+        A = self.env_cfg.num_actions
+        self._sa_dim = 4 * B * B + A
+        self.key, k = jax.random.split(self.key)
+        self.gail_state = gail_init(self.gail_cfg, self._sa_dim,
+                                    self.run_cfg.num_envs, k)
+        self._eye = np.eye(A, dtype=np.float32)
+
+        env_cfg = self.env_cfg
+        ppo_cfg = self.ppo_cfg
+        run_cfg = self.run_cfg
+        gail_cfg = self.gail_cfg
+        apply_fn = self.apply_fn
+        optimizer = self.optimizer
+
+        def gail_train_step(params, opt_state, gail_state, sp_state,
+                            expert_sa, key):
+            """expert_sa: (gail_epoch, M, sa_dim) pre-sampled host
+            batches."""
+            k_coll, k_disc, k_ppo = jax.random.split(key, 3)
+            sp_state, rollout, bootstrap = collect_rollout(
+                params, apply_fn, sp_state, env_cfg, run_cfg.num_steps,
+                run_cfg.init_rand_steps)
+            T, N = rollout.reward.shape
+            obs_flat = rollout.obs.astype(jnp.float32).reshape(T * N, -1)
+            onehot = jax.nn.one_hot(rollout.action.reshape(-1),
+                                    env_cfg.num_actions)
+            policy_sa = jnp.concatenate([obs_flat, onehot], axis=-1)
+            M = expert_sa.shape[1]
+
+            def disc_step(gail_state, inp):
+                e_sa, k = inp
+                k_idx, k_gp = jax.random.split(k)
+                idx = jax.random.randint(k_idx, (M,), 0, T * N)
+                gail_state, dloss = gail_discriminator_update(
+                    gail_state, gail_cfg, e_sa, policy_sa[idx], k_gp)
+                return gail_state, dloss
+
+            gail_state, dlosses = jax.lax.scan(
+                disc_step, gail_state,
+                (expert_sa,
+                 jax.random.split(k_disc, expert_sa.shape[0])))
+
+            # Reward relabel, sequential over T to keep the running-return
+            # RMS semantics (main.py:150-155 relabels step by step).
+            masks = jnp.concatenate(
+                [jnp.ones((1, N)),
+                 1.0 - rollout.done[:-1].astype(jnp.float32)])
+            sa_t = policy_sa.reshape(T, N, -1)
+
+            def relabel(gail_state, inp):
+                sa, m = inp
+                gail_state, r = gail_predict_reward(gail_state, gail_cfg,
+                                                    sa, m)
+                return gail_state, r
+
+            gail_state, rewards = jax.lax.scan(relabel, gail_state,
+                                               (sa_t, masks))
+            rollout = rollout.replace(reward=rewards)
+
+            params, opt_state, metrics = ppo_update(
+                params, opt_state, rollout, bootstrap, k_ppo, apply_fn,
+                optimizer, ppo_cfg)
+            metrics = dict(metrics)
+            metrics["disc_loss"] = dlosses.mean()
+            metrics["gail_reward"] = rewards.mean()
+            metrics["episodes"] = rollout.done.sum()
+            return params, opt_state, gail_state, sp_state, metrics
+
+        self._gail_train_step = jax.jit(gail_train_step,
+                                        donate_argnums=(0, 1, 2, 3))
+
+    def _sample_expert(self) -> np.ndarray:
+        """(gail_epoch, M, sa_dim) float32 [state, one-hot action] rows."""
+        out = []
+        for _ in range(self.gail_run.gail_epoch):
+            s, a = self.expert.sample(self.np_rng,
+                                      self.gail_run.gail_batch_size)
+            s = np.asarray(s, np.float32).reshape(len(s), -1)
+            onehot = self._eye[np.asarray(a, np.int64).reshape(-1)]
+            out.append(np.concatenate([s, onehot], axis=-1))
+        return np.stack(out)
+
+    def train(self, num_updates: int, log_every: int = 10,
+              checkpoint_path: str = None):
+        self.ensure_initialized()
+        import time
+        t0 = time.time()
+        for u in range(num_updates):
+            self.key, k = jax.random.split(self.key)
+            expert_sa = jnp.asarray(self._sample_expert())
+            (self.params, self.opt_state, self.gail_state,
+             self.sp_state, metrics) = self._gail_train_step(
+                self.params, self.opt_state, self.gail_state,
+                self.sp_state, expert_sa, k)
+            self.update_count += 1
+            if (u + 1) % log_every == 0 or u == num_updates - 1:
+                m = {k_: float(v) for k_, v in metrics.items()}
+                m["transitions_per_sec"] = (
+                    (u + 1) * self.run_cfg.num_steps
+                    * self.run_cfg.num_envs / (time.time() - t0))
+                self._log(self.update_count, m)
+            if (self.update_count % self.run_cfg.test_interval == 0):
+                self.key, k = jax.random.split(self.key)
+                wins = {k_: float(v) for k_, v in
+                        self._eval_step(self.params, k).items()}
+                self._log(self.update_count,
+                          {f"win%({k_})": v for k_, v in wins.items()})
+            if checkpoint_path and (
+                    self.update_count % self.run_cfg.save_interval == 0):
+                self.save(checkpoint_path)
+        if checkpoint_path:
+            self.save(checkpoint_path)
