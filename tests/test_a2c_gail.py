@@ -160,3 +160,28 @@ def test_gail_ppo_trainer_smoke(tmp_path):
         assert np.isfinite(m["disc_loss"])
         assert np.isfinite(m["value_loss"])
         assert np.isfinite(m["gail_reward"])
+
+
+def test_a2c_selfplay_trainer_smoke():
+    """A2C self-play trainer (the vendored --algo a2c path, dead in the
+    fork): a few updates run, metrics finite, params move."""
+    import jax
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.a2c_trainer import A2CSelfPlayTrainer
+    from gymothelloenv_tpu.train.ppo_trainer import SelfPlayConfig
+
+    logs = []
+    tr = A2CSelfPlayTrainer(
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        run_cfg=SelfPlayConfig(num_envs=8, num_steps=5,
+                               num_test_games=4, test_interval=10**9),
+        log_fn=lambda step, m: logs.append(m))
+    before = jax.tree.map(np.asarray, tr.params)
+    tr.train(3, log_every=1)
+    assert len(logs) == 3
+    assert all(np.isfinite(m["value_loss"]) for m in logs)
+    moved = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(before),
+                        jax.tree.leaves(tr.params)))
+    assert moved
