@@ -53,3 +53,30 @@ def test_acktr_learns_reward_preference():
         assert np.isfinite(float(metrics["value_loss"]))
     after = p5(agent)
     assert after > before + 0.05, (before, after)
+
+
+def test_acktr_selfplay_trainer_smoke():
+    """ACKTR self-play trainer (--algo acktr capability): updates run,
+    metrics finite, actor params move under the K-FAC step."""
+    import jax
+    import numpy as np
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.acktr_trainer import ACKTRSelfPlayTrainer
+    from gymothelloenv_tpu.train.ppo_trainer import SelfPlayConfig
+
+    logs = []
+    tr = ACKTRSelfPlayTrainer(
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        run_cfg=SelfPlayConfig(num_envs=8, num_steps=5, num_test_games=4,
+                               test_interval=10**9),
+        log_fn=lambda step, m: logs.append(m))
+    tr.ensure_initialized()
+    before = jax.tree.map(np.asarray, tr.agent.actor)
+    tr.train(3, log_every=1)
+    assert len(logs) == 3
+    assert all(np.isfinite(m["value_loss"]) for m in logs)
+    moved = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(before),
+                        jax.tree.leaves(tr.agent.actor)))
+    assert moved
