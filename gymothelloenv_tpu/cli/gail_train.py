@@ -14,7 +14,6 @@ import argparse
 
 import jax
 
-from gymothelloenv_tpu.agents.gail import GAILConfig
 from gymothelloenv_tpu.agents.ppo import PPOConfig
 from gymothelloenv_tpu.core.state import EnvConfig
 from gymothelloenv_tpu.train.gail_trainer import (GAILPPOTrainer,
@@ -61,9 +60,9 @@ def main(argv=None):
 
     logger = MetricsLogger(args.log_dir) if args.log_dir else None
     trainer = GAILPPOTrainer(
-        expert_path=args.expert, gail_cfg=GAILConfig(),
-        gail_run=gail_run, env_cfg=env_cfg, ppo_cfg=ppo_cfg,
-        run_cfg=run_cfg, log_fn=logger.log if logger else None)
+        expert_path=args.expert, gail_run=gail_run, env_cfg=env_cfg,
+        ppo_cfg=ppo_cfg, run_cfg=run_cfg,
+        log_fn=logger.log if logger else None)
     print(f"devices: {jax.devices()}  expert rows: {len(trainer.expert)}")
     trainer.train(args.num_updates, log_every=args.log_every,
                   checkpoint_path=args.checkpoint or None)

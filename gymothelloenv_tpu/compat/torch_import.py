@@ -160,3 +160,21 @@ def export_policy_net(params, board_size: int = 8) -> dict:
     sd["dist.linear.weight"] = np.asarray(p["Dense_2"]["kernel"]).T.copy()
     sd["dist.linear.bias"] = np.asarray(p["Dense_2"]["bias"])
     return sd
+
+
+def detect_and_import(obj):
+    """Identify which reference architecture a checkpoint holds (by its
+    state_dict key layout) and convert it.  Returns ``(kind, params)``
+    with kind in {'policy', 'actor_critic', 'dueling_dqn', 'dqn'}."""
+    sd = _state_dict(obj)
+    if "base.main.0.weight" in sd:
+        return "policy", import_policy_net(sd)
+    if "fc1_adv.weight" in sd:
+        return "dueling_dqn", import_dueling_dqn_net(sd)
+    if "fc6.weight" in sd:
+        return "actor_critic", import_actor_critic(sd)
+    if "fc5.weight" in sd:
+        return "dqn", import_dqn_net(sd)
+    raise ValueError(
+        "unrecognized checkpoint layout; keys: "
+        + ", ".join(sorted(sd)[:8]) + " ...")

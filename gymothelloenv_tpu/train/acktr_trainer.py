@@ -11,8 +11,6 @@ the masked distribution here has no such limit."""
 
 from __future__ import annotations
 
-import time
-
 import jax
 import jax.numpy as jnp
 
@@ -24,9 +22,9 @@ from gymothelloenv_tpu.core.state import EnvConfig
 from gymothelloenv_tpu.models.distributions import MaskedCategorical
 from gymothelloenv_tpu.policies.scripted import (greedy_policy,
                                                  random_policy)
-from gymothelloenv_tpu.train.ppo_trainer import SelfPlayConfig
-from gymothelloenv_tpu.train.self_play import (collect_rollout,
-                                               selfplay_init)
+from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
+                                                 SelfPlayConfig)
+from gymothelloenv_tpu.train.self_play import collect_rollout
 from gymothelloenv_tpu.train.tournament import play_games_impl
 
 
@@ -41,23 +39,28 @@ def make_mlp_apply_fn():
     return apply_fn
 
 
-class ACKTRSelfPlayTrainer:
+class ACKTRSelfPlayTrainer(PPOSelfPlayTrainer):
+    """Reuses the parent train/eval loop; ``self.params`` holds the
+    ``ACKTRAgent`` pytree (actor/critic MLP stacks + K-FAC states) and
+    ``opt_state`` is unused (K-FAC state lives in the agent)."""
+
     def __init__(self, acktr_cfg: ACKTRConfig = None,
                  env_cfg: EnvConfig = None,
                  run_cfg: SelfPlayConfig = None, log_fn=None):
-        self.env_cfg = env_cfg or EnvConfig(num_disk_as_reward=True)
         self.acktr_cfg = acktr_cfg or ACKTRConfig()
-        self.run_cfg = run_cfg or SelfPlayConfig(num_steps=5)
-        self.log_fn = log_fn
-        self.apply_fn = make_mlp_apply_fn()
+        if run_cfg is None:
+            run_cfg = SelfPlayConfig(num_steps=5)   # arguments.py default
+        super().__init__(env_cfg=env_cfg, run_cfg=run_cfg, log_fn=log_fn)
 
+        # Swap in the MLP agent: the parent's ensure_initialized and eval
+        # read self.params/self.apply_fn at call time, so replacing them
+        # re-targets the whole loop.
+        self.apply_fn = make_mlp_apply_fn()
         B = self.env_cfg.board_size
-        self.key, k = jax.random.split(
-            jax.random.PRNGKey(self.run_cfg.seed))
-        self.agent = acktr_init(k, obs_dim=4 * B * B,
-                                num_actions=self.env_cfg.num_actions)
-        self.update_count = 0
-        self.sp_state = None
+        self.key, k = jax.random.split(self.key)
+        self.params = acktr_init(k, obs_dim=4 * B * B,
+                                 num_actions=self.env_cfg.num_actions)
+        self.opt_state = ()
 
         env_cfg = self.env_cfg
         run_cfg = self.run_cfg
@@ -81,7 +84,7 @@ class ACKTRSelfPlayTrainer:
             metrics["episodes"] = rollout.done.sum()
             return agent, sp_state, metrics
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._acktr_step = jax.jit(train_step, donate_argnums=(0, 1))
 
         def eval_step(agent, key):
             def net_act(k, state):
@@ -107,46 +110,12 @@ class ACKTRSelfPlayTrainer:
 
         self._eval_step = jax.jit(eval_step)
 
-    def ensure_initialized(self):
-        if self.sp_state is None:
-            self.key, k = jax.random.split(self.key)
-            self.sp_state = jax.jit(
-                selfplay_init,
-                static_argnames=("apply_fn", "cfg", "num_envs",
-                                 "init_rand_steps"))(
-                self.agent, apply_fn=self.apply_fn, key=k,
-                cfg=self.env_cfg, num_envs=self.run_cfg.num_envs,
-                init_rand_steps=self.run_cfg.init_rand_steps)
+    def _do_update(self, key):
+        self.params, self.sp_state, metrics = self._acktr_step(
+            self.params, self.sp_state, key)
+        return metrics
 
-    def train(self, num_updates: int, log_every: int = 10):
-        self.ensure_initialized()
-        t0 = time.time()
-        for u in range(num_updates):
-            self.key, k = jax.random.split(self.key)
-            self.agent, self.sp_state, metrics = self._train_step(
-                self.agent, self.sp_state, k)
-            self.update_count += 1
-            if (u + 1) % log_every == 0 or u == num_updates - 1:
-                m = {k_: float(v) for k_, v in metrics.items()}
-                m["transitions_per_sec"] = (
-                    (u + 1) * self.run_cfg.num_steps
-                    * self.run_cfg.num_envs / (time.time() - t0))
-                self._log(self.update_count, m)
-            if self.update_count % self.run_cfg.test_interval == 0:
-                self.key, k = jax.random.split(self.key)
-                wins = {k_: float(v) for k_, v in
-                        self._eval_step(self.agent, k).items()}
-                self._log(self.update_count,
-                          {f"win%({k_})": v for k_, v in wins.items()})
-
-    def evaluate(self):
-        self.key, k = jax.random.split(self.key)
-        return {k_: float(v)
-                for k_, v in self._eval_step(self.agent, k).items()}
-
-    def _log(self, step, metrics):
-        if self.log_fn:
-            self.log_fn(step, metrics)
-        else:
-            text = " ".join(f"{k}={v:.4g}" for k, v in metrics.items())
-            print(f"[update {step}] {text}", flush=True)
+    @property
+    def agent(self):
+        """The ACKTRAgent pytree (alias of ``params``)."""
+        return self.params

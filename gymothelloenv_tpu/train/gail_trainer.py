@@ -70,10 +70,12 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
         optimizer = self.optimizer
 
         def gail_train_step(params, opt_state, gail_state, sp_state,
-                            expert_sa, key):
+                            last_done, expert_sa, key):
             """expert_sa: (gail_epoch, M, sa_dim) pre-sampled host
-            batches."""
-            k_coll, k_disc, k_ppo = jax.random.split(key, 3)
+            batches; ``last_done`` (N,) bool — whether each env's episode
+            ended on the PREVIOUS chunk's final slot (resets the
+            discounted-return accumulator across chunk boundaries)."""
+            k_disc, k_ppo = jax.random.split(key)
             sp_state, rollout, bootstrap = collect_rollout(
                 params, apply_fn, sp_state, env_cfg, run_cfg.num_steps,
                 run_cfg.init_rand_steps)
@@ -99,8 +101,11 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
 
             # Reward relabel, sequential over T to keep the running-return
             # RMS semantics (main.py:150-155 relabels step by step).
+            # masks[t] = 1 - done[t-1], carried ACROSS chunk boundaries via
+            # last_done so the return accumulator resets when an episode
+            # ended on the previous chunk's final slot.
             masks = jnp.concatenate(
-                [jnp.ones((1, N)),
+                [1.0 - last_done.astype(jnp.float32)[None],
                  1.0 - rollout.done[:-1].astype(jnp.float32)])
             sa_t = policy_sa.reshape(T, N, -1)
 
@@ -121,10 +126,12 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
             metrics["disc_loss"] = dlosses.mean()
             metrics["gail_reward"] = rewards.mean()
             metrics["episodes"] = rollout.done.sum()
-            return params, opt_state, gail_state, sp_state, metrics
+            return (params, opt_state, gail_state, sp_state,
+                    rollout.done[-1], metrics)
 
         self._gail_train_step = jax.jit(gail_train_step,
                                         donate_argnums=(0, 1, 2, 3))
+        self._last_done = jnp.zeros((self.run_cfg.num_envs,), bool)
 
     def _sample_expert(self) -> np.ndarray:
         """(gail_epoch, M, sa_dim) float32 [state, one-hot action] rows."""
@@ -137,33 +144,10 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
             out.append(np.concatenate([s, onehot], axis=-1))
         return np.stack(out)
 
-    def train(self, num_updates: int, log_every: int = 10,
-              checkpoint_path: str = None):
-        self.ensure_initialized()
-        import time
-        t0 = time.time()
-        for u in range(num_updates):
-            self.key, k = jax.random.split(self.key)
-            expert_sa = jnp.asarray(self._sample_expert())
-            (self.params, self.opt_state, self.gail_state,
-             self.sp_state, metrics) = self._gail_train_step(
-                self.params, self.opt_state, self.gail_state,
-                self.sp_state, expert_sa, k)
-            self.update_count += 1
-            if (u + 1) % log_every == 0 or u == num_updates - 1:
-                m = {k_: float(v) for k_, v in metrics.items()}
-                m["transitions_per_sec"] = (
-                    (u + 1) * self.run_cfg.num_steps
-                    * self.run_cfg.num_envs / (time.time() - t0))
-                self._log(self.update_count, m)
-            if (self.update_count % self.run_cfg.test_interval == 0):
-                self.key, k = jax.random.split(self.key)
-                wins = {k_: float(v) for k_, v in
-                        self._eval_step(self.params, k).items()}
-                self._log(self.update_count,
-                          {f"win%({k_})": v for k_, v in wins.items()})
-            if checkpoint_path and (
-                    self.update_count % self.run_cfg.save_interval == 0):
-                self.save(checkpoint_path)
-        if checkpoint_path:
-            self.save(checkpoint_path)
+    def _do_update(self, key):
+        expert_sa = jnp.asarray(self._sample_expert())
+        (self.params, self.opt_state, self.gail_state, self.sp_state,
+         self._last_done, metrics) = self._gail_train_step(
+            self.params, self.opt_state, self.gail_state, self.sp_state,
+            self._last_done, expert_sa, key)
+        return metrics

@@ -146,6 +146,14 @@ class PPOSelfPlayTrainer:
                 cfg=self.env_cfg, num_envs=self.run_cfg.num_envs,
                 init_rand_steps=self.run_cfg.init_rand_steps)
 
+    def _do_update(self, key):
+        """One training update — the hook subclasses override to swap the
+        algorithm (A2C, ACKTR, GAIL) while reusing the train loop."""
+        self.params, self.opt_state, self.sp_state, metrics = \
+            self._train_step(self.params, self.opt_state,
+                             self.sp_state, key)
+        return metrics
+
     def train(self, num_updates: int, log_every: int = 10,
               checkpoint_path: str = None):
         self.ensure_initialized()
@@ -153,9 +161,7 @@ class PPOSelfPlayTrainer:
         steps_done = 0
         for u in range(num_updates):
             self.key, k = jax.random.split(self.key)
-            self.params, self.opt_state, self.sp_state, metrics = \
-                self._train_step(self.params, self.opt_state,
-                                 self.sp_state, k)
+            metrics = self._do_update(k)
             self.update_count += 1
             steps_done += self.run_cfg.num_steps * self.run_cfg.num_envs
 

@@ -101,7 +101,8 @@ def test_expert_dataset_reads_reference_h5_schema(tmp_path):
     """ExpertDataset consumes the reference's raw h5 trajectory layout
     (obs_B_T_Do/a_B_T_Da/len_B, convert_to_pytorch.py:29-47) directly and
     identically to the converted npz."""
-    import h5py
+    import pytest
+    h5py = pytest.importorskip("h5py")
     from gymothelloenv_tpu.agents.gail import ExpertDataset
 
     K, T, D = 5, 24, 6
@@ -185,3 +186,50 @@ def test_a2c_selfplay_trainer_smoke():
         for a, b in zip(jax.tree.leaves(before),
                         jax.tree.leaves(tr.params)))
     assert moved
+
+
+def test_gail_trainer_resets_return_accumulator_at_chunk_boundary(
+        tmp_path):
+    """The discounted-return accumulator feeding the reward-normalizing
+    RMS must reset for envs whose episode ended on the previous chunk's
+    LAST slot (masks[0] = 1 - last_done) — regression for the hardcoded
+    masks[0]=1 bug."""
+    import jax
+    import jax.numpy as jnp
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.gail_trainer import (GAILPPOTrainer,
+                                                      GAILRunConfig)
+    from gymothelloenv_tpu.train.ppo_trainer import SelfPlayConfig
+
+    rng = np.random.RandomState(1)
+    K, T = 3, 16
+    np.savez(str(tmp_path / "e.npz"),
+             states=(rng.rand(K, T, 256) > 0.7).astype(np.float32),
+             actions=rng.randint(0, 64, (K, T)).astype(np.int64),
+             lengths=np.full(K, T, np.int64))
+    N = 8
+    tr = GAILPPOTrainer(
+        expert_path=str(tmp_path / "e.npz"),
+        gail_run=GAILRunConfig(gail_epoch=1, gail_batch_size=8,
+                               num_trajectories=2,
+                               subsample_frequency=2),
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        run_cfg=SelfPlayConfig(num_envs=N, num_steps=4, num_test_games=4,
+                               test_interval=10**9),
+        log_fn=lambda step, m: None)
+    tr.ensure_initialized()
+    # Nonzero accumulator so masks[0] has an observable effect.
+    gail_state = tr.gail_state.replace(returns=jnp.full((N,), 5.0))
+    expert = jnp.asarray(tr._sample_expert())
+    key = jax.random.PRNGKey(0)
+
+    outs = {}
+    for name, last_done in (("carry", jnp.zeros((N,), bool)),
+                            ("reset", jnp.ones((N,), bool))):
+        args = jax.tree.map(jnp.copy, (tr.params, tr.opt_state,
+                                       gail_state, tr.sp_state))
+        *_, gs, _, _, metrics = tr._gail_train_step(
+            *args, last_done, expert, key)
+        outs[name] = (np.asarray(gs.ret_rms.mean),
+                      float(metrics["gail_reward"]))
+    assert not np.allclose(outs["carry"][0], outs["reset"][0])

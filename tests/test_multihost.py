@@ -28,7 +28,13 @@ def test_two_process_distributed_cluster():
         [sys.executable, WORKER, str(pid), port],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for pid in (0, 1)]
-    outs = [p.communicate(timeout=150)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=150)[0] for p in procs]
+    finally:
+        for p in procs:       # don't orphan cluster members on timeout
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out}"
         assert f"OK proc{pid}" in out, out
