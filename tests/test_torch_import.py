@@ -187,3 +187,17 @@ def test_policy_net_export_roundtrip():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(value), tv.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_detect_and_import_identifies_all_layouts():
+    from gymothelloenv_tpu.compat.torch_import import detect_and_import
+
+    for module, want in ((TorchCNNPolicy(), "policy"),
+                         (TorchDQN(), "dqn"),
+                         (TorchDuelingDQN(), "dueling_dqn"),
+                         (TorchActorCritic(), "actor_critic")):
+        kind, params = detect_and_import(module.state_dict())
+        assert kind == want
+        assert "ConvTrunk_0" in params["params"]
+    with pytest.raises(ValueError):
+        detect_and_import({"mystery.weight": np.zeros((2, 2))})
