@@ -63,6 +63,37 @@ def _apply_moves(cur0, cur1, opp0, opp1, actions):
     return new_opp0, new_opp1, new_mine0, new_mine1
 
 
+def _pad_pow2(arr: np.ndarray) -> np.ndarray:
+    """Zero-pad to the next power-of-two length so the jitted level
+    programs compile once per size bucket instead of once per exact
+    frontier size.  All-zero padded positions have no legal moves and
+    are never expanded."""
+    n = arr.shape[0]
+    target = 1 << max(0, (n - 1).bit_length())
+    if target == n:
+        return arr
+    return np.concatenate([arr, np.zeros(target - n, arr.dtype)])
+
+
+def _expand_level(frontier):
+    """One BFS level: (cur0, cur1, opp0, opp1) numpy arrays -> children
+    arrays (or None when no position has a move)."""
+    padded = tuple(_pad_pow2(x) for x in frontier)
+    c0, c1, o0, o1, legal, _ = (
+        np.asarray(x) for x in _level_masks(
+            *(jnp.asarray(x) for x in padded)))
+    pos_idx, actions = np.nonzero(legal)
+    if pos_idx.size == 0:
+        return None
+    take = _pad_pow2(pos_idx.astype(np.int64))
+    children = _apply_moves(
+        jnp.asarray(c0[take]), jnp.asarray(c1[take]),
+        jnp.asarray(o0[take]), jnp.asarray(o1[take]),
+        jnp.asarray(_pad_pow2(actions.astype(np.int32))))
+    return (tuple(np.asarray(x)[:pos_idx.size] for x in children),
+            pos_idx.size)
+
+
 def perft(depth: int, max_positions: int = 50_000_000) -> int:
     """Number of distinct ``depth``-placement sequences from the opening.
 
@@ -70,48 +101,25 @@ def perft(depth: int, max_positions: int = 50_000_000) -> int:
     ~3M positions; depth 11+ grows beyond typical host memory)."""
     black = np.array([1 << 28, 1 << 3], np.uint32)     # words of e4|d5
     white = np.array([1 << 27, 1 << 4], np.uint32)     # words of d4|e5
-    cur0 = np.array([black[0]], np.uint32)
-    cur1 = np.array([black[1]], np.uint32)
-    opp0 = np.array([white[0]], np.uint32)
-    opp1 = np.array([white[1]], np.uint32)
-
-    for level in range(depth):
-        c0, c1, o0, o1, legal, live = (
-            np.asarray(x) for x in _level_masks(
-                jnp.asarray(cur0), jnp.asarray(cur1),
-                jnp.asarray(opp0), jnp.asarray(opp1)))
-        pos_idx, actions = np.nonzero(legal)
-        if pos_idx.size == 0:
-            return 0
-        if pos_idx.size > max_positions:
-            raise ValueError(
-                f"perft frontier {pos_idx.size} exceeds max_positions")
-        children = _apply_moves(
-            jnp.asarray(c0[pos_idx]), jnp.asarray(c1[pos_idx]),
-            jnp.asarray(o0[pos_idx]), jnp.asarray(o1[pos_idx]),
-            jnp.asarray(actions.astype(np.int32)))
-        cur0, cur1, opp0, opp1 = (np.asarray(x) for x in children)
-
-    return int(cur0.shape[0])
+    return perft_from((black[0], black[1]), (white[0], white[1]), depth,
+                      max_positions)
 
 
-def perft_from(cur_pair, opp_pair, depth: int) -> int:
+def perft_from(cur_pair, opp_pair, depth: int,
+               max_positions: int = 50_000_000) -> int:
     """Perft from an arbitrary packed position (word pairs as in
     core.bitboard; ``cur`` is the side to move)."""
     frontier = (np.array([cur_pair[0]], np.uint32),
                 np.array([cur_pair[1]], np.uint32),
                 np.array([opp_pair[0]], np.uint32),
                 np.array([opp_pair[1]], np.uint32))
+    count = 1
     for level in range(depth):
-        c0, c1, o0, o1, legal, live = (
-            np.asarray(x) for x in _level_masks(
-                *(jnp.asarray(x) for x in frontier)))
-        pos_idx, actions = np.nonzero(legal)
-        if pos_idx.size == 0:
+        out = _expand_level(frontier)
+        if out is None:
             return 0
-        children = _apply_moves(
-            jnp.asarray(c0[pos_idx]), jnp.asarray(c1[pos_idx]),
-            jnp.asarray(o0[pos_idx]), jnp.asarray(o1[pos_idx]),
-            jnp.asarray(actions.astype(np.int32)))
-        frontier = tuple(np.asarray(x) for x in children)
-    return int(frontier[0].shape[0])
+        frontier, count = out
+        if count > max_positions:
+            raise ValueError(
+                f"perft frontier {count} exceeds max_positions")
+    return count

@@ -58,18 +58,26 @@ def _u64(pair) -> int:
 
 def _random_positions(n, plies, seed):
     """Distinct midgame positions from random legal play (bit engine)."""
-    key = jax.random.PRNGKey(seed)
-    state = bb.bit_reset((n,))
-    for i in range(plies):
-        key, k = jax.random.split(key)
-        actions = jax.vmap(bb.random_legal_bit)(
-            jax.random.split(k, n), state.legal)
-        res = bb.bit_step(state, actions)
-        state = jax.tree.map(
-            lambda nw, od: np.where(
-                np.asarray(state.terminated).reshape(
-                    (-1,) + (1,) * (np.asarray(nw).ndim - 1)),
-                od, nw), res.state, state)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def play(state, key):
+        def ply(state, k):
+            actions = jax.vmap(bb.random_legal_bit)(
+                jax.random.split(k, n), state.legal)
+            res = bb.bit_step(state, actions)
+            state = jax.tree.map(
+                lambda nw, od: jnp.where(
+                    state.terminated.reshape(
+                        (-1,) + (1,) * (nw.ndim - 1)), od, nw),
+                res.state, state)
+            return state, None
+
+        state, _ = jax.lax.scan(ply, state,
+                                jax.random.split(key, plies))
+        return state
+
+    state = play(bb.bit_reset((n,)), jax.random.PRNGKey(seed))
     return jax.tree.map(np.asarray, state)
 
 
