@@ -24,8 +24,7 @@ from gymothelloenv_tpu.agents.gail import (ExpertDataset, GAILConfig,
                                            gail_discriminator_update,
                                            gail_init, gail_predict_reward)
 from gymothelloenv_tpu.agents.ppo import ppo_update
-from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
-                                                 SelfPlayConfig)
+from gymothelloenv_tpu.train.ppo_trainer import PPOSelfPlayTrainer
 from gymothelloenv_tpu.train.self_play import collect_rollout
 
 
