@@ -50,34 +50,11 @@ def main(argv=None):
     apply_fn = make_apply_fn(net)
     if args.load.endswith((".pth", ".pt")):
         from gymothelloenv_tpu.compat.torch_import import (
-            detect_and_import, load_torch_checkpoint)
+            detect_and_import, imported_apply_fn, load_torch_checkpoint)
         kind, params = detect_and_import(load_torch_checkpoint(args.load))
         print(f"imported reference torch checkpoint {args.load} "
               f"(architecture: {kind})")
-        if kind == "actor_critic":
-            from gymothelloenv_tpu.models import ActorCriticNet
-            ac = ActorCriticNet(num_actions=cfg.num_actions)
-
-            def apply_fn(p, obs):
-                logits, value = ac.apply(p, obs)
-                return logits, value, None
-        elif kind in ("dqn", "dueling_dqn"):
-            from gymothelloenv_tpu.agents.dqn import featurize3
-            from gymothelloenv_tpu.models import DQNNet, DuelingDQNNet
-            qnet = (DuelingDQNNet if kind == "dueling_dqn"
-                    else DQNNet)(num_actions=cfg.num_actions)
-
-            def apply_fn(p, obs):
-                # DQN nets take 3-plane [black, white, turn] features; the
-                # tournament wrapper feeds 4-plane make_state — recover
-                # board+turn and refeaturize (greedy-Q as "logits").
-                board = (obs[:, 1] - obs[:, 0]).astype(jnp.int8)
-                turn = (obs[:, 2, 0, 0] * 2 - 1).astype(jnp.int8)
-                q = qnet.apply(p, featurize3(board, turn))
-                # Sharpen Q into near-deterministic logits: the masked
-                # sampler then plays greedy-over-legal-Q (DQN test-time
-                # behavior, dqn.py:478-488, without the 0.05 epsilon).
-                return q * 1e6, jnp.zeros(obs.shape[0]), None
+        apply_fn = imported_apply_fn(kind, cfg)
     else:
         dummy = jnp.zeros((1, 4, cfg.board_size, cfg.board_size))
         template = net.init(jax.random.PRNGKey(0), dummy)

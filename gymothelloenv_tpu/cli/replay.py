@@ -22,9 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gymothelloenv_tpu.core import state as core
-from gymothelloenv_tpu.core.featurize import make_state
 from gymothelloenv_tpu.core.state import EnvConfig
-from gymothelloenv_tpu.models.distributions import MaskedCategorical
 from gymothelloenv_tpu.utils.render import board_svg
 
 _PAGE = """<!DOCTYPE html>
@@ -78,51 +76,54 @@ go(0);
 
 def _net_policy(path: str, cfg: EnvConfig):
     """Policy from a checkpoint: .msgpack (this framework) or a reference
-    torch .pth/.pt (auto-detected vendored-Policy import)."""
+    torch .pth/.pt (architecture auto-detected)."""
     from gymothelloenv_tpu.train.ppo_trainer import (make_apply_fn,
-                                                     make_network)
-    net = make_network(cfg)
-    apply_fn = make_apply_fn(net)
+                                                     make_network,
+                                                     net_tournament_policy)
     if path.endswith((".pth", ".pt")):
         from gymothelloenv_tpu.compat.torch_import import (
-            import_policy_net, load_torch_checkpoint)
-        params = import_policy_net(load_torch_checkpoint(path))
+            detect_and_import, imported_apply_fn, load_torch_checkpoint)
+        kind, params = detect_and_import(load_torch_checkpoint(path))
+        apply_fn = imported_apply_fn(kind, cfg)
     else:
+        net = make_network(cfg)
+        apply_fn = make_apply_fn(net)
         from gymothelloenv_tpu.utils.checkpoint import load_checkpoint
         dummy = jnp.zeros((1, 4, cfg.board_size, cfg.board_size))
         template = net.init(jax.random.PRNGKey(0), dummy)
         _, params, _, _ = load_checkpoint(path, template, None)
-
-    def act(key, state):
-        logits, _, _ = apply_fn(params, make_state(state)[None])
-        return MaskedCategorical(logits=logits[0],
-                                 mask=state.legal).sample(key)
-    return act
+    return net_tournament_policy(params, apply_fn)
 
 
 def _policy(spec: str, cfg: EnvConfig):
     if spec.startswith("net:"):
-        return _net_policy(spec[4:], cfg)
-    from gymothelloenv_tpu.cli.tournament import policy_from_spec
-    return policy_from_spec(spec, cfg)
+        pol = _net_policy(spec[4:], cfg)
+    else:
+        from gymothelloenv_tpu.cli.tournament import policy_from_spec
+        pol = policy_from_spec(spec, cfg)
+    # Per-move dispatch is host-driven here; eager policy code is
+    # pathologically slow through the TPU tunnel — always jit.
+    return jax.jit(pol)
 
 
 def play_one_game(cfg: EnvConfig, black, white, key, init_rand_steps: int):
     """Returns a list of (board np, legal indices, turn, caption) frames
     incl. the terminal position."""
     from gymothelloenv_tpu.policies.scripted import random_action
+    from gymothelloenv_tpu.train.tournament import draw_max_rand_steps
     jstep = jax.jit(core.step, static_argnums=2)
+    jrand = jax.jit(random_action)
+    B = cfg.board_size
     s = core.reset(cfg)
     key, k_rand = jax.random.split(key)
-    rand_left = int(jax.random.randint(
-        k_rand, (), 0, init_rand_steps // 2 + 1)) * 2
+    rand_left = int(draw_max_rand_steps(k_rand, init_rand_steps))
 
     frames = []
     ply = 0
-    while not bool(s.terminated) and ply < cfg.board_size ** 2 + 10:
+    while not bool(s.terminated) and ply < B ** 2 + 10:
         key, k = jax.random.split(key)
         if ply < rand_left:
-            a = random_action(k, s.legal)
+            a = jrand(k, s.legal)
             who = "random opening"
         else:
             pol = black if int(s.turn) == -1 else white
@@ -134,7 +135,7 @@ def play_one_game(cfg: EnvConfig, black, white, key, init_rand_steps: int):
         a_int = int(a)
         frames.append((board, legal, int(s.turn),
                        f"ply {ply}: {mover} to move ({who}) -> "
-                       f"{chr(97 + a_int % 8)}{a_int // 8 + 1} "
+                       f"{chr(97 + a_int % B)}{a_int // B + 1} "
                        f"(action {a_int})"))
         s = jstep(s, jnp.int32(a_int), cfg).state
         ply += 1

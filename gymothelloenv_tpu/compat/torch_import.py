@@ -178,3 +178,38 @@ def detect_and_import(obj):
     raise ValueError(
         "unrecognized checkpoint layout; keys: "
         + ", ".join(sorted(sd)[:8]) + " ...")
+
+
+def imported_apply_fn(kind: str, cfg):
+    """Collector-protocol ``apply_fn(params, obs4) -> (logits, value,
+    aux)`` for an imported checkpoint of any supported architecture
+    (``detect_and_import`` kinds).  ``obs4`` is the 4-plane make_state
+    layout; DQN kinds recover board+turn from it, refeaturize to their
+    3-plane input, and return sharpened Q-values as near-deterministic
+    logits (greedy-over-legal-Q test behavior, dqn.py:478-488).  Used by
+    cli/eval_checkpoint.py and cli/replay.py."""
+    if kind == "policy":
+        from gymothelloenv_tpu.models import PolicyNet
+        net = PolicyNet(num_actions=cfg.num_actions)
+        return lambda p, obs: net.apply(p, obs)
+    if kind == "actor_critic":
+        from gymothelloenv_tpu.models import ActorCriticNet
+        net = ActorCriticNet(num_actions=cfg.num_actions)
+
+        def ac_apply(p, obs):
+            logits, value = net.apply(p, obs)
+            return logits, value, None
+        return ac_apply
+    if kind in ("dqn", "dueling_dqn"):
+        from gymothelloenv_tpu.agents.dqn import featurize3
+        from gymothelloenv_tpu.models import DQNNet, DuelingDQNNet
+        net = (DuelingDQNNet if kind == "dueling_dqn"
+               else DQNNet)(num_actions=cfg.num_actions)
+
+        def q_apply(p, obs):
+            board = (obs[:, 1] - obs[:, 0]).astype(jnp.int8)
+            turn = (obs[:, 2, 0, 0] * 2 - 1).astype(jnp.int8)
+            q = net.apply(p, featurize3(board, turn))
+            return q * 1e6, jnp.zeros(obs.shape[0]), None
+        return q_apply
+    raise ValueError(f"unknown checkpoint kind: {kind}")

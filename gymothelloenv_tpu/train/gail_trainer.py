@@ -86,6 +86,10 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
             M = expert_sa.shape[1]
 
             def disc_step(gail_state, inp):
+                # Policy minibatches are drawn WITH replacement (uniform
+                # over the T*N rollout rows) — a documented divergence
+                # from the vendored DataLoader's without-replacement
+                # pass; immaterial while T*N >> gail_epoch*M.
                 e_sa, k = inp
                 k_idx, k_gp = jax.random.split(k)
                 idx = jax.random.randint(k_idx, (M,), 0, T * N)
