@@ -38,6 +38,11 @@ def main(argv=None):
     parser.add_argument("--replay-size", type=int, default=1_000_000)
     parser.add_argument("--initial-replay-size", type=int, default=20000)
     parser.add_argument("--annealing-steps", type=int, default=1_000_000)
+    parser.add_argument("--batch-size", type=int, default=32,
+                        help="minibatch size (reference: 32; raise for "
+                             "TPU throughput mode)")
+    parser.add_argument("--train-interval", type=int, default=4,
+                        help="transitions per update (dqn.py:353-354)")
     parser.add_argument("--target-update-interval", type=int, default=10000)
     parser.add_argument("--init-rand-steps", type=int, default=0)
     parser.add_argument("--num-test-games", type=int, default=200)
@@ -55,6 +60,7 @@ def main(argv=None):
         double=bool(args.double), dueling=bool(args.dueling), lr=args.lr,
         initial_replay_size=args.initial_replay_size,
         annealing_steps=args.annealing_steps,
+        batch_size=args.batch_size, train_interval=args.train_interval,
         target_update_interval=args.target_update_interval)
     rb_cfg = ReplayConfig(capacity=args.replay_size,
                           board_size=args.board_size,
