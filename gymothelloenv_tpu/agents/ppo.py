@@ -19,7 +19,7 @@ import optax
 from flax import struct
 
 from gymothelloenv_tpu.models.distributions import MaskedCategorical
-from gymothelloenv_tpu.ops.gather import gather_rows
+from gymothelloenv_tpu.ops.gather import pack_rows
 
 
 @dataclasses.dataclass(frozen=True)
@@ -212,9 +212,21 @@ def ppo_update(params, opt_state, rollout: Transition,
 
     flat = jax.tree.map(
         lambda x: x.reshape((batch_size,) + x.shape[2:]), rollout)
-    flat_adv = adv.reshape(-1)
-    flat_ret = returns.reshape(-1)
-    flat_w = None if weights is None else weights.reshape(-1)
+
+    # Byte-pack every per-sample tensor the loss consumes, so each
+    # minibatch step issues ONE row gather instead of ~9 — on TPU each
+    # 64K-row gather costs ~0.55 ms regardless of row width, and the
+    # per-leaf gathers were 61% of the update's device time
+    # (scripts/trace_update.py).  reward/done are not used by the loss
+    # and are not packed.
+    pack_src = {"obs": flat.obs, "action": flat.action, "logp": flat.logp,
+                "value": flat.value, "legal": flat.legal,
+                "adv": adv.reshape(-1), "ret": returns.reshape(-1)}
+    if weights is not None:
+        pack_src["w"] = weights.reshape(-1)
+    packed, unpack = pack_rows(pack_src)
+    zero_reward = jnp.zeros((mb_size,), rollout.reward.dtype)
+    zero_done = jnp.zeros((mb_size,), rollout.done.dtype)
 
     def epoch(carry, epoch_key):
         params, opt_state = carry
@@ -224,10 +236,14 @@ def ppo_update(params, opt_state, rollout: Transition,
             params, opt_state = carry
             idx = jax.lax.dynamic_slice_in_dim(perm, mb_idx * mb_size,
                                                mb_size)
-            mb = jax.tree.map(lambda x: gather_rows(x, idx), flat)
+            d = unpack(packed[idx])
+            mb = Transition(obs=d["obs"], action=d["action"],
+                            logp=d["logp"], value=d["value"],
+                            reward=zero_reward, done=zero_done,
+                            legal=d["legal"])
             grads, metrics = jax.grad(ppo_loss, has_aux=True)(
-                params, apply_fn, mb, flat_adv[idx], flat_ret[idx], cfg,
-                None if flat_w is None else flat_w[idx])
+                params, apply_fn, mb, d["adv"], d["ret"], cfg,
+                d.get("w"))
             if grad_reduce is not None:
                 grads = grad_reduce(grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -24,11 +24,13 @@ conv(32->64, k2, valid), conv(64->64, k2, valid); for B=8 this flattens to
 
 from __future__ import annotations
 
+import functools
 import math
 
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from gymothelloenv_tpu.models.distributions import (BernoulliDist,
@@ -55,25 +57,121 @@ def _torch_bias_init(fan_in: int):
     return init
 
 
+@functools.lru_cache(maxsize=None)
+def _lift_block_map(h: int, w: int, kh: int, kw: int,
+                    stride: int, pad: int):
+    """Static index/mask pair for lifting a conv to one dense matmul.
+
+    Returns ``(kyx, valid, ho, wo)`` where ``kyx[p, q]`` is the flat
+    kernel-position index ``ky*kw + kx`` connecting input position ``p``
+    (row-major ``y*w + x``) to output position ``q`` (``oy*wo + ox``), and
+    ``valid[p, q]`` marks pairs actually connected (0 elsewhere; ``kyx``
+    is 0 there, masked out after the gather)."""
+    ho = (h + 2 * pad - kh) // stride + 1
+    wo = (w + 2 * pad - kw) // stride + 1
+    kyx = np.zeros((h * w, ho * wo), np.int32)
+    valid = np.zeros((h * w, ho * wo), bool)
+    for oy in range(ho):
+        for ox in range(wo):
+            for ky in range(kh):
+                iy = oy * stride - pad + ky
+                if not 0 <= iy < h:
+                    continue
+                for kx in range(kw):
+                    ix = ox * stride - pad + kx
+                    if not 0 <= ix < w:
+                        continue
+                    kyx[iy * w + ix, oy * wo + ox] = ky * kw + kx
+                    valid[iy * w + ix, oy * wo + ox] = True
+    return kyx, valid, ho, wo
+
+
+def _lifted_conv(x, kernel, bias, h: int, w: int, stride: int, pad: int,
+                 dtype):
+    """Apply a conv as ONE dense matmul on flattened NHWC positions.
+
+    The reference trunk's convs are tiny (channels 4-64 on an 8x8 board)
+    — XLA's conv lowering leaves the 128x128 MXU mostly idle on them.
+    Lifting scatters the (kh,kw,cin,cout) kernel into a dense
+    (h*w*cin, ho*wo*cout) matrix via a cheap block gather (h*w*ho*wo
+    blocks <= 1024) and runs ``x @ D``: ~2.5x the FLOPs of the conv but
+    MXU-shaped, which is a large net win on TPU (RESULTS.md).  Gradients
+    flow through the gather back to the conv kernel, so the param tree —
+    and every checkpoint — is identical to the direct path.
+    """
+    kh, kw, cin, cout = kernel.shape
+    kyx, valid, ho, wo = _lift_block_map(h, w, kh, kw, stride, pad)
+    blocks = kernel.astype(dtype).reshape(kh * kw, cin * cout)
+    dense = blocks[jnp.asarray(kyx.reshape(-1))]          # (h*w*ho*wo, ...)
+    dense = dense.reshape(h * w, ho * wo, cin, cout)
+    dense = jnp.where(jnp.asarray(valid)[:, :, None, None], dense, 0)
+    dense = dense.transpose(0, 2, 1, 3).reshape(h * w * cin,
+                                                ho * wo * cout)
+    y = x @ dense + jnp.tile(bias.astype(dtype), ho * wo)
+    return y, ho, wo
+
+
+class _ConvParams(nn.Module):
+    """Owns one conv layer's kernel/bias under the exact param names/shapes
+    ``nn.Conv`` would create, so the lifted trunk shares checkpoints (and
+    torch imports) with the direct trunk."""
+    features: int
+    kernel_size: tuple
+    in_features: int
+    kernel_init: nn.initializers.Initializer
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (kh, kw, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class ConvTrunk(nn.Module):
     """conv(32,k3,s2,p1) -> conv(64,k2) -> conv(64,k2), ReLU between, then
-    flatten (dqn.py:84-94 / ppo.py:33-69 / model.py:295-299)."""
+    flatten (dqn.py:84-94 / ppo.py:33-69 / model.py:295-299).
+
+    ``lifted=True`` computes each conv as a dense matmul over flattened
+    board positions (see ``_lifted_conv``) — same math, same params, much
+    better MXU utilization for these tiny channel counts.  Keep it off for
+    paths that need bit-level agreement with the direct conv lowering.
+    """
     kernel_init: nn.initializers.Initializer
     dtype: jnp.dtype = jnp.float32
+    lifted: bool = False
+
+    _SPECS = ((32, 3, 2, 1), (64, 2, 1, 0), (64, 2, 1, 0))
 
     @nn.compact
     def __call__(self, x):
         # x: (..., B, B, C) NHWC
-        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                    kernel_init=self.kernel_init, dtype=self.dtype)(x)
-        x = nn.relu(x)
-        x = nn.Conv(64, (2, 2), padding="VALID",
-                    kernel_init=self.kernel_init, dtype=self.dtype)(x)
-        x = nn.relu(x)
-        x = nn.Conv(64, (2, 2), padding="VALID",
-                    kernel_init=self.kernel_init, dtype=self.dtype)(x)
-        x = nn.relu(x)
-        return x.reshape(x.shape[:-3] + (-1,))
+        if not self.lifted:
+            x = nn.Conv(32, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)),
+                        kernel_init=self.kernel_init, dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = nn.Conv(64, (2, 2), padding="VALID",
+                        kernel_init=self.kernel_init, dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = nn.Conv(64, (2, 2), padding="VALID",
+                        kernel_init=self.kernel_init, dtype=self.dtype)(x)
+            x = nn.relu(x)
+            return x.reshape(x.shape[:-3] + (-1,))
+
+        h, w, cin = x.shape[-3:]
+        y = x.astype(self.dtype).reshape(x.shape[:-3] + (h * w * cin,))
+        for i, (cout, k, stride, pad) in enumerate(self._SPECS):
+            kernel, bias = _ConvParams(
+                features=cout, kernel_size=(k, k), in_features=cin,
+                kernel_init=self.kernel_init, name=f"Conv_{i}")()
+            y, h, w = _lifted_conv(y, kernel, bias, h, w, stride, pad,
+                                   self.dtype)
+            y = nn.relu(y)
+            cin = cout
+        return y
 
 
 class DQNNet(nn.Module):
@@ -149,13 +247,15 @@ class PolicyNet(nn.Module):
     #   bfloat16 halves the HBM traffic of the (tiny-channel, bandwidth-
     #   bound) conv trunk on TPU; logits/value are cast back to float32 so
     #   sampling and losses are unaffected downstream.
+    lifted: bool = False  # dense-matmul trunk (same params; see ConvTrunk)
 
     @nn.compact
     def __call__(self, x, h=None, mask=None):
         relu_gain = math.sqrt(2.0)
         trunk_init = nn.initializers.orthogonal(relu_gain)
         x = x.astype(self.dtype)
-        x = ConvTrunk(kernel_init=trunk_init, dtype=self.dtype)(_to_nhwc(x))
+        x = ConvTrunk(kernel_init=trunk_init, dtype=self.dtype,
+                      lifted=self.lifted)(_to_nhwc(x))
         x = nn.relu(nn.Dense(self.hidden_size, kernel_init=trunk_init,
                              bias_init=nn.initializers.zeros,
                              dtype=self.dtype)(x))

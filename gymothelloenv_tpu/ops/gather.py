@@ -1,4 +1,4 @@
-"""TPU-friendly batched row gather.
+"""TPU-friendly batched row gathers.
 
 XLA lowers a row gather on a >2-D operand (e.g. ``obs[(K,), 4, 8, 8]``)
 into a slow per-row path on TPU: measured on-chip, gathering 64K rows of a
@@ -6,10 +6,19 @@ into a slow per-row path on TPU: measured on-chip, gathering 64K rows of a
 gathered through a (256K, 256) 2-D view cost ~2.3 ms
 (scripts/profile_update_breakdown.py).  ``gather_rows`` routes every row
 gather through a 2-D view; reshapes are free (layout no-ops).
+
+Beyond layout, every 2-D row gather pays a large per-invocation cost that
+is nearly independent of the row WIDTH: on-chip, gathering 64K rows costs
+~0.55 ms whether the rows are 4 bytes or 256 bytes (trace_update.py — the
+per-leaf gathers were 61% of the PPO update).  ``pack_rows`` therefore
+byte-packs a whole pytree of (B, ...) leaves into ONE uint8 (B, P) array
+so a minibatch fetch is ONE gather, unpacked afterwards by free
+slices/bitcasts.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -20,3 +29,63 @@ def gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         return x[idx]
     flat2 = x.reshape(x.shape[0], -1)
     return flat2[idx].reshape((idx.shape[0],) + x.shape[1:])
+
+
+def _to_bytes(flat: jnp.ndarray) -> jnp.ndarray:
+    """(B, K) any-dtype -> (B, K * itemsize) uint8, bit-exact."""
+    if flat.dtype == jnp.bool_:
+        return flat.astype(jnp.uint8)
+    if flat.dtype.itemsize == 1:
+        return jax.lax.bitcast_convert_type(flat, jnp.uint8)
+    u8 = jax.lax.bitcast_convert_type(flat, jnp.uint8)  # (B, K, itemsize)
+    return u8.reshape(flat.shape[0], -1)
+
+
+def _from_bytes(u8: jnp.ndarray, dtype, m: int) -> jnp.ndarray:
+    """(M, K * itemsize) uint8 -> (M, K) dtype, inverse of ``_to_bytes``."""
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.bool_:
+        return u8.astype(jnp.bool_)
+    if dtype.itemsize == 1:
+        return jax.lax.bitcast_convert_type(u8, dtype)
+    return jax.lax.bitcast_convert_type(
+        u8.reshape(m, -1, dtype.itemsize), dtype)
+
+
+def pack_rows(tree):
+    """Byte-pack a pytree of ``(B, ...)`` arrays into one uint8 ``(B, P)``
+    array so that many row gathers become ONE.
+
+    Returns ``(packed, unpack)`` where ``unpack(packed[idx])`` rebuilds the
+    pytree with leading dim ``len(idx)``.  Packing/unpacking is bit-exact
+    (bool round-trips through uint8 0/1; everything else is bitcast), and
+    costs one sequential pass over the data — repaid after the second
+    gather of the packed rows (see module docstring for the measured
+    per-gather overhead this amortizes).
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    if not leaves:
+        raise ValueError("pack_rows needs at least one leaf")
+    b = leaves[0].shape[0]
+    cols, specs = [], []
+    for leaf in leaves:
+        if leaf.shape[0] != b:
+            raise ValueError(
+                f"all leaves must share the leading dim: {leaf.shape[0]} "
+                f"!= {b}")
+        u8 = _to_bytes(leaf.reshape(b, -1))
+        specs.append((leaf.shape[1:], leaf.dtype, u8.shape[1]))
+        cols.append(u8)
+    packed = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+
+    def unpack(rows: jnp.ndarray):
+        m = rows.shape[0]
+        out, off = [], 0
+        for shape_tail, dtype, nbytes in specs:
+            chunk = jax.lax.slice_in_dim(rows, off, off + nbytes, axis=1)
+            off += nbytes
+            out.append(_from_bytes(chunk, dtype, m).reshape(
+                (m,) + shape_tail))
+        return jax.tree.unflatten(treedef, out)
+
+    return packed, unpack

@@ -85,8 +85,12 @@ def policy_sample(params, apply_fn: ApplyFn, eng, env, keys,
     action = jax.vmap(lambda d_logits, d_mask, k: MaskedCategorical(
         logits=d_logits, mask=d_mask).sample(k))(logits, legal, keys)
     if logp_mode == "full":
+        # One-hot select (exact), not take_along_axis — per-row gathers
+        # carry a large fixed cost on TPU (see MaskedCategorical.log_prob).
         logp_all = jax.nn.log_softmax(logits, axis=-1)
-        logp = jnp.take_along_axis(logp_all, action[:, None], -1)[:, 0]
+        onehot = action[:, None] == jnp.arange(
+            logits.shape[-1], dtype=jnp.int32)
+        logp = jnp.where(onehot, logp_all, 0.0).sum(axis=-1)
     else:
         logp = dist.log_prob(action)
     return obs, legal, action, logp, value

@@ -1,0 +1,114 @@
+"""ops/gather.py pack_rows: bit-exact byte packing, and agreement of the
+packed single-gather PPO minibatch path with a naive per-leaf gather
+implementation of the same update."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymothelloenv_tpu.ops.gather import gather_rows, pack_rows
+
+
+def test_pack_rows_roundtrip_mixed_dtypes():
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    b = 37
+    tree = {
+        "obs": jax.random.randint(ks[0], (b, 4, 8, 8), -1, 2).astype(
+            jnp.int8),
+        "legal": jax.random.bernoulli(ks[1], 0.4, (b, 64)),
+        "action": jax.random.randint(ks[2], (b,), 0, 64),
+        "logp": jax.random.normal(ks[3], (b,)),
+        "value": jax.random.normal(ks[4], (b, 3)),
+        "half": jax.random.normal(ks[5], (b,)).astype(jnp.bfloat16),
+    }
+    packed, unpack = pack_rows(tree)
+    assert packed.dtype == jnp.uint8 and packed.shape[0] == b
+
+    idx = jnp.asarray([5, 0, 36, 5, 17])
+    got = unpack(packed[idx])
+    for k in tree:
+        want = np.asarray(tree[k])[np.asarray(idx)]
+        assert got[k].dtype == tree[k].dtype, k
+        np.testing.assert_array_equal(np.asarray(got[k]), want, err_msg=k)
+
+
+def test_pack_rows_under_jit():
+    tree = {"a": jnp.arange(12.0).reshape(6, 2),
+            "b": jnp.arange(6, dtype=jnp.int32)}
+    packed, unpack = pack_rows(tree)
+
+    @jax.jit
+    def fetch(packed, idx):
+        return unpack(packed[idx])
+
+    out = fetch(packed, jnp.asarray([1, 4]))
+    np.testing.assert_array_equal(np.asarray(out["a"]),
+                                  [[2.0, 3.0], [8.0, 9.0]])
+    np.testing.assert_array_equal(np.asarray(out["b"]), [1, 4])
+
+
+def test_packed_ppo_update_matches_naive_gathers():
+    """ppo_update's packed minibatch fetch must match an implementation
+    that gathers each leaf (and adv/ret) separately — the
+    pre-optimization semantics — to float-reassociation noise."""
+    from gymothelloenv_tpu.agents.ppo import (PPOConfig, Transition,
+                                              compute_gae, make_optimizer,
+                                              ppo_loss, ppo_update)
+    from gymothelloenv_tpu.models.nets import PolicyNet
+
+    key = jax.random.PRNGKey(7)
+    T, N = 6, 8
+    net = PolicyNet(num_actions=64)
+    params = net.init(key, jnp.zeros((1, 4, 8, 8)))
+    cfg = PPOConfig(num_updates=2)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    ks = jax.random.split(key, 6)
+    roll = Transition(
+        obs=jax.random.bernoulli(ks[0], 0.3, (T, N, 4, 8, 8)).astype(
+            jnp.int8),
+        action=jax.random.randint(ks[1], (T, N), 0, 64),
+        logp=-jnp.abs(jax.random.normal(ks[2], (T, N))),
+        value=jax.random.normal(ks[3], (T, N)) * 0.1,
+        reward=jax.random.normal(ks[4], (T, N)) * 0.1,
+        done=jax.random.bernoulli(ks[5], 0.1, (T, N)),
+        legal=jnp.ones((T, N, 64), bool))
+    boot = jnp.zeros((N,))
+    upd_key = jax.random.PRNGKey(11)
+    apply_fn = lambda p, o: net.apply(p, o)  # noqa: E731
+
+    p_fast, _, m_fast = jax.jit(
+        lambda p, o, r, k: ppo_update(p, o, r, boot, k, apply_fn, opt,
+                                      cfg))(params, opt_state, roll,
+                                            upd_key)
+
+    # Naive reference: same schedule, per-leaf gathers.
+    import optax
+
+    def naive(params, opt_state, rollout, key):
+        adv, returns = compute_gae(rollout, boot, cfg)
+        adv = (adv - adv.mean()) / (adv.std() + 1e-5)
+        bsz = T * N
+        mb_size = bsz // cfg.num_mini_batch
+        flat = jax.tree.map(
+            lambda x: x.reshape((bsz,) + x.shape[2:]), rollout)
+        fadv, fret = adv.reshape(-1), returns.reshape(-1)
+        for ek in jax.random.split(key, cfg.ppo_epochs):
+            perm = jax.random.permutation(ek, bsz)
+            for i in range(cfg.num_mini_batch):
+                idx = perm[i * mb_size:(i + 1) * mb_size]
+                mb = jax.tree.map(lambda x: gather_rows(x, idx), flat)
+                grads, _ = jax.grad(ppo_loss, has_aux=True)(
+                    params, apply_fn, mb, fadv[idx], fret[idx], cfg, None)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+        return params
+
+    p_naive = jax.jit(naive)(params, opt_state, roll, upd_key)
+    # The packed path was verified bit-identical to the pre-pack scan
+    # implementation; vs this Python-unrolled reference XLA reassociates
+    # reductions differently, so allow float-noise-level differences.
+    for a, b in zip(jax.tree.leaves(p_fast), jax.tree.leaves(p_naive)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

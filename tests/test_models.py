@@ -153,3 +153,71 @@ def test_gaussian_and_bernoulli_heads_init_and_apply():
     bp = bh.init(jax.random.PRNGKey(1), x)
     bdist = bh.apply(bp, x)
     assert bdist.logits.shape == (7, 5)
+
+
+def test_lifted_trunk_matches_direct():
+    """ConvTrunk(lifted=True) — the dense-matmul MXU path — must produce
+    the same outputs, gradients, and param tree as the direct conv path,
+    for 8x8 and a non-default board size."""
+    key = jax.random.PRNGKey(3)
+    for board in (8, 6):
+        acts = board * board
+        obs = jax.random.normal(key, (16, 4, board, board))
+        net = PolicyNet(num_actions=acts)
+        netl = PolicyNet(num_actions=acts, lifted=True)
+        params = net.init(key, obs[:1])
+        params_l = netl.init(key, obs[:1])
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(params_l))
+        assert all(a.shape == b.shape for a, b in
+                   zip(jax.tree.leaves(params), jax.tree.leaves(params_l)))
+
+        lo, v, _ = jax.jit(net.apply)(params, obs)
+        lo_l, v_l, _ = jax.jit(netl.apply)(params, obs)
+        np.testing.assert_allclose(np.asarray(lo), np.asarray(lo_l),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_l),
+                                   atol=1e-5)
+
+        def loss(p, apply):
+            logits, value, _ = apply(p, obs)
+            return (logits ** 2).mean() + (value ** 2).mean()
+
+        g = jax.grad(lambda p: loss(p, net.apply))(params)
+        g_l = jax.grad(lambda p: loss(p, netl.apply))(params)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_l)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
+def test_lifted_trunk_in_ppo_update():
+    """A full ppo_update through the lifted net runs and stays finite."""
+    from gymothelloenv_tpu.agents.ppo import (PPOConfig, Transition,
+                                              make_optimizer, ppo_update)
+
+    key = jax.random.PRNGKey(4)
+    T, N = 8, 16
+    net = PolicyNet(num_actions=64, lifted=True)
+    params = net.init(key, jnp.zeros((1, 4, 8, 8)))
+    cfg = PPOConfig(num_updates=2)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    ks = jax.random.split(key, 4)
+    roll = Transition(
+        obs=jax.random.bernoulli(ks[0], 0.3, (T, N, 4, 8, 8)).astype(
+            jnp.int8),
+        action=jax.random.randint(ks[1], (T, N), 0, 64),
+        logp=-jnp.ones((T, N)) * 3.0,
+        value=jax.random.normal(ks[2], (T, N)) * 0.1,
+        reward=jnp.zeros((T, N)),
+        done=jnp.zeros((T, N), bool),
+        legal=jnp.ones((T, N, 64), bool))
+    params2, _, metrics = jax.jit(
+        lambda p, o, r, k: ppo_update(p, o, r, jnp.zeros((N,)), k,
+                                      lambda pp, oo: net.apply(pp, oo),
+                                      opt, cfg))(
+        params, opt_state, roll, ks[3])
+    assert all(np.isfinite(np.asarray(m)).all()
+               for m in jax.tree.leaves(metrics))
+    assert all(np.isfinite(np.asarray(p)).all()
+               for p in jax.tree.leaves(params2))
