@@ -11,17 +11,26 @@ serial hops, and batch inserts/updates are plain scatters.
 
 Observations are stored as int8 boards + turn (not float planes) — 65 bytes
 per state instead of 768/1024 — and featurized on sample.
+
+Storage layout: the whole transition (s, a, r, s', done) lives BYTE-PACKED
+in one uint8 ``(capacity+1, row_bytes)`` array (``ops.gather.make_row_codec``)
+so an insert is ONE scatter and a sample fetch ONE gather — on TPU each
+64K-row scatter/gather costs ~0.5 ms nearly independent of row width
+(scripts/trace_update.py), and the per-field layout paid that 7-8x per
+call (scripts/bench_replay.py A/Bs the two).  ``priority`` stays a separate
+float32 column: PER updates it independently and sampling prefix-sums it.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
-from gymothelloenv_tpu.ops.gather import gather_rows
+from gymothelloenv_tpu.ops.gather import make_row_codec
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,31 +44,37 @@ class ReplayConfig:
 
 @struct.dataclass
 class Replay:
-    """Ring buffer of (s, a, r, s', done).  Boards are raw int8 + turn;
-    index ``capacity`` is a scratch row for masked (invalid) writes."""
-    board: jnp.ndarray        # int8 (C+1, B, B)
-    turn: jnp.ndarray         # int8 (C+1,)
-    action: jnp.ndarray       # int32 (C+1,)
-    reward: jnp.ndarray       # float32 (C+1,)
-    next_board: jnp.ndarray   # int8 (C+1, B, B)
-    next_turn: jnp.ndarray    # int8 (C+1,)
-    done: jnp.ndarray         # bool (C+1,)
+    """Ring buffer of (s, a, r, s', done), byte-packed one row per
+    transition; index ``capacity`` is a scratch row for masked (invalid)
+    writes."""
+    data: jnp.ndarray         # uint8 (C+1, row_bytes) packed transition
     priority: jnp.ndarray     # float32 (C+1,) (unused when uniform)
     max_priority: jnp.ndarray  # float32 () running max (dqn.py:36, :66-69)
     write_pos: jnp.ndarray    # int32 () next slot
     size: jnp.ndarray         # int32 () filled entries (<= capacity)
 
 
+@functools.lru_cache(maxsize=None)
+def _codec(board_size: int):
+    """(pack, unpack, row_bytes) for one transition row."""
+    B = board_size
+    template = {
+        "board": jnp.zeros((0, B, B), jnp.int8),
+        "turn": jnp.zeros((0,), jnp.int8),
+        "action": jnp.zeros((0,), jnp.int32),
+        "reward": jnp.zeros((0,), jnp.float32),
+        "next_board": jnp.zeros((0, B, B), jnp.int8),
+        "next_turn": jnp.zeros((0,), jnp.int8),
+        "done": jnp.zeros((0,), bool),
+    }
+    return make_row_codec(template)
+
+
 def replay_init(cfg: ReplayConfig) -> Replay:
-    C, B = cfg.capacity, cfg.board_size
+    C = cfg.capacity
+    _, _, row_bytes = _codec(cfg.board_size)
     return Replay(
-        board=jnp.zeros((C + 1, B, B), jnp.int8),
-        turn=jnp.zeros((C + 1,), jnp.int8),
-        action=jnp.zeros((C + 1,), jnp.int32),
-        reward=jnp.zeros((C + 1,), jnp.float32),
-        next_board=jnp.zeros((C + 1, B, B), jnp.int8),
-        next_turn=jnp.zeros((C + 1,), jnp.int8),
-        done=jnp.zeros((C + 1,), bool),
+        data=jnp.zeros((C + 1, row_bytes), jnp.uint8),
         priority=jnp.zeros((C + 1,), jnp.float32),
         max_priority=jnp.float32(1.0),
         write_pos=jnp.int32(0),
@@ -70,24 +85,28 @@ def replay_init(cfg: ReplayConfig) -> Replay:
 def replay_insert(rb: Replay, cfg: ReplayConfig, board, turn, action, reward,
                   next_board, next_turn, done, valid) -> Replay:
     """Masked batch insert of K transitions.  Valid entries take consecutive
-    ring slots; invalid ones are routed to the scratch row."""
+    ring slots; invalid ones are routed to the scratch row.  The whole
+    transition writes as ONE scatter of packed byte rows."""
     C = cfg.capacity
-    K = action.shape[0]
     offsets = jnp.cumsum(valid.astype(jnp.int32)) - 1
     slots = (rb.write_pos + offsets) % C
     idx = jnp.where(valid, slots, C)
 
+    pack, _, _ = _codec(cfg.board_size)
+    rows = pack({"board": board, "turn": turn,
+                 "action": action.astype(jnp.int32),
+                 "reward": reward.astype(jnp.float32),
+                 "next_board": next_board, "next_turn": next_turn,
+                 "done": done})
+
     num = valid.sum(dtype=jnp.int32)
     return rb.replace(
-        board=rb.board.at[idx].set(board),
-        turn=rb.turn.at[idx].set(turn),
-        action=rb.action.at[idx].set(action),
-        reward=rb.reward.at[idx].set(reward),
-        next_board=rb.next_board.at[idx].set(next_board),
-        next_turn=rb.next_turn.at[idx].set(next_turn),
-        done=rb.done.at[idx].set(done),
+        data=rb.data.at[idx].set(rows),
+        # Invalid entries all land on the scratch row C, which sampling
+        # and priority updates never touch — writing max_priority there
+        # too saves a per-insert row gather.
         priority=rb.priority.at[idx].set(
-            jnp.where(valid, rb.max_priority, rb.priority[idx])),
+            jnp.broadcast_to(rb.max_priority, idx.shape)),
         write_pos=(rb.write_pos + num) % C,
         size=jnp.minimum(rb.size + num, C),
     )
@@ -122,7 +141,20 @@ def replay_update_priorities(rb: Replay, cfg: ReplayConfig,
 
 
 def replay_gather(rb: Replay, idx: jnp.ndarray):
-    """Fetch a batch of raw transitions (boards/turn form)."""
-    return (gather_rows(rb.board, idx), rb.turn[idx], rb.action[idx],
-            rb.reward[idx], gather_rows(rb.next_board, idx),
-            rb.next_turn[idx], rb.done[idx])
+    """Fetch a batch of raw transitions (boards/turn form) — ONE gather of
+    packed rows, then free slice/bitcast unpacks."""
+    board_size = _board_size_of(rb)
+    _, unpack, _ = _codec(board_size)
+    d = unpack(rb.data[idx])
+    return (d["board"], d["turn"], d["action"], d["reward"],
+            d["next_board"], d["next_turn"], d["done"])
+
+
+def _board_size_of(rb: Replay) -> int:
+    """Recover the (static) board size from the packed row width:
+    row_bytes = 2*B^2 + 11."""
+    row_bytes = rb.data.shape[1]
+    b2 = (row_bytes - 11) // 2
+    board_size = int(round(b2 ** 0.5))
+    assert 2 * board_size * board_size + 11 == row_bytes, row_bytes
+    return board_size

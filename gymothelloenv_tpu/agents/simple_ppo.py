@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from gymothelloenv_tpu.agents.ppo import Transition
-from gymothelloenv_tpu.ops.gather import gather_rows
+from gymothelloenv_tpu.ops.gather import pack_rows
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,12 +77,22 @@ def simple_ppo_update(params, opt_state, rollout: Transition,
     mb_size = min(cfg.batch_size, total)
     num_batches = max(1, total // mb_size)
 
-    def loss_fn(params, mb, mb_ret):
-        logits, values, _ = apply_fn(params, mb.obs.astype(jnp.float32))
+    # One row gather per minibatch instead of per-leaf gathers (the same
+    # fixed per-gather cost that dominated agents/ppo.py — see
+    # ops/gather.pack_rows).
+    packed, unpack = pack_rows({"obs": flat.obs, "action": flat.action,
+                                "logp": flat.logp, "ret": flat_ret})
+
+    def loss_fn(params, mb):
+        logits, values, _ = apply_fn(params, mb["obs"].astype(jnp.float32))
         logp_all = jax.nn.log_softmax(logits, axis=-1)
-        logp = jnp.take_along_axis(logp_all, mb.action[:, None],
-                                   -1)[:, 0]
-        ratio = jnp.exp(logp - mb.logp)
+        # One-hot select (exact) — per-row gathers carry a large fixed
+        # cost on TPU (see MaskedCategorical.log_prob).
+        onehot = mb["action"][:, None] == jnp.arange(
+            logits.shape[-1], dtype=jnp.int32)
+        logp = jnp.where(onehot, logp_all, 0.0).sum(-1)
+        mb_ret = mb["ret"]
+        ratio = jnp.exp(logp - mb["logp"])
         adv = mb_ret - jax.lax.stop_gradient(values)
         surr1 = ratio * adv
         surr2 = jnp.clip(ratio, 1 - cfg.eps_clip, 1 + cfg.eps_clip) * adv
@@ -100,9 +110,8 @@ def simple_ppo_update(params, opt_state, rollout: Transition,
             params, opt_state = carry
             idx = jax.lax.dynamic_slice_in_dim(
                 perm, i * mb_size, mb_size)
-            mb = jax.tree.map(lambda x: gather_rows(x, idx), flat)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, mb, flat_ret[idx])
+            mb = unpack(packed[idx])
+            loss, grads = jax.value_and_grad(loss_fn)(params, mb)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), loss
 

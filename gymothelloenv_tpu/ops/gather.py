@@ -52,31 +52,40 @@ def _from_bytes(u8: jnp.ndarray, dtype, m: int) -> jnp.ndarray:
         u8.reshape(m, -1, dtype.itemsize), dtype)
 
 
-def pack_rows(tree):
-    """Byte-pack a pytree of ``(B, ...)`` arrays into one uint8 ``(B, P)``
-    array so that many row gathers become ONE.
+def make_row_codec(template):
+    """Build a byte-row codec for a pytree of ``(B, ...)`` arrays (only
+    trailing shapes/dtypes of ``template`` matter; its leading dim may be
+    anything, including 0).
 
-    Returns ``(packed, unpack)`` where ``unpack(packed[idx])`` rebuilds the
-    pytree with leading dim ``len(idx)``.  Packing/unpacking is bit-exact
-    (bool round-trips through uint8 0/1; everything else is bitcast), and
-    costs one sequential pass over the data — repaid after the second
-    gather of the packed rows (see module docstring for the measured
-    per-gather overhead this amortizes).
+    Returns ``(pack, unpack, nbytes)``: ``pack(tree) -> uint8 (B, nbytes)``
+    and ``unpack(rows) -> tree`` with leading dim ``rows.shape[0]``.
+    Bit-exact round-trip (bool via uint8 0/1, everything else bitcast).
     """
-    leaves, treedef = jax.tree.flatten(tree)
+    leaves, treedef = jax.tree.flatten(template)
     if not leaves:
-        raise ValueError("pack_rows needs at least one leaf")
-    b = leaves[0].shape[0]
-    cols, specs = [], []
+        raise ValueError("row codec needs at least one leaf")
+    specs = []
     for leaf in leaves:
-        if leaf.shape[0] != b:
-            raise ValueError(
-                f"all leaves must share the leading dim: {leaf.shape[0]} "
-                f"!= {b}")
-        u8 = _to_bytes(leaf.reshape(b, -1))
-        specs.append((leaf.shape[1:], leaf.dtype, u8.shape[1]))
-        cols.append(u8)
-    packed = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+        width = 1
+        for d in leaf.shape[1:]:
+            width *= d
+        itemsize = 1 if leaf.dtype == jnp.bool_ else jnp.dtype(
+            leaf.dtype).itemsize
+        specs.append((leaf.shape[1:], jnp.dtype(leaf.dtype),
+                      width * itemsize))
+    total = sum(nb for _, _, nb in specs)
+
+    def pack(tree):
+        leaves2 = jax.tree.leaves(tree)
+        b = leaves2[0].shape[0]
+        cols = []
+        for leaf, (shape_tail, dtype, _) in zip(leaves2, specs):
+            if leaf.shape[0] != b:
+                raise ValueError(
+                    f"all leaves must share the leading dim: "
+                    f"{leaf.shape[0]} != {b}")
+            cols.append(_to_bytes(leaf.reshape(b, -1)))
+        return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
 
     def unpack(rows: jnp.ndarray):
         m = rows.shape[0]
@@ -88,4 +97,19 @@ def pack_rows(tree):
                 (m,) + shape_tail))
         return jax.tree.unflatten(treedef, out)
 
-    return packed, unpack
+    return pack, unpack, total
+
+
+def pack_rows(tree):
+    """Byte-pack a pytree of ``(B, ...)`` arrays into one uint8 ``(B, P)``
+    array so that many row gathers become ONE.
+
+    Returns ``(packed, unpack)`` where ``unpack(packed[idx])`` rebuilds the
+    pytree with leading dim ``len(idx)``.  Packing/unpacking is bit-exact
+    (bool round-trips through uint8 0/1; everything else is bitcast), and
+    costs one sequential pass over the data — repaid after the second
+    gather of the packed rows (see module docstring for the measured
+    per-gather overhead this amortizes).
+    """
+    pack, unpack, _ = make_row_codec(tree)
+    return pack(tree), unpack

@@ -32,7 +32,10 @@ def capture(fn, args, trace_dir):
         float(jax.tree.leaves(out)[0].sum().astype(jnp.float32))
 
 
-def summarize(trace_dir, top=40):
+def summarize(trace_dir, top=45):
+    """Aggregate device time per HLO op from the 'XLA Ops' trace track,
+    with each op's Python source attribution — the data that drives
+    update-tuning decisions (per-op costs, not guesses)."""
     paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
     if not paths:
         print("no trace files found under", trace_dir)
@@ -42,30 +45,49 @@ def summarize(trace_dir, top=40):
         with gzip.open(p, "rt") as f:
             data = json.load(f)
         events.extend(data.get("traceEvents", []))
-    # Device-side complete events: pid/tid vary; keep 'X' events that look
-    # like XLA ops (have a dur and a name that is not a host function).
-    totals = {}
-    counts = {}
+
+    # Identify the device-side 'XLA Ops' tracks from track metadata.
+    op_tracks = set()
+    device_pids = set()
     for ev in events:
-        if ev.get("ph") != "X" or "dur" not in ev:
+        if ev.get("ph") != "M":
             continue
-        name = ev.get("name", "")
-        cat = ev.get("cat", "")
-        if cat and "TensorFlow" not in cat and "XLA" not in cat \
-                and cat not in ("tpu", "device"):
-            pass
-        args = ev.get("args", {})
-        if not isinstance(args, dict):
-            args = {}
-        # Heuristic: device op events carry run_id/program_id or look like
-        # HLO names (contain '.fusion', 'convolution', '%', or dots).
-        key = re.sub(r"\.\d+$", "", name)
-        totals[key] = totals.get(key, 0) + ev["dur"]
-        counts[key] = counts.get(key, 0) + 1
+        args = ev.get("args") or {}
+        if (ev.get("name") == "process_name"
+                and "/device:" in str(args.get("name", ""))):
+            device_pids.add(ev.get("pid"))
+    for ev in events:
+        if ev.get("ph") != "M":
+            continue
+        args = ev.get("args") or {}
+        if (ev.get("name") == "thread_name"
+                and args.get("name") == "XLA Ops"
+                and ev.get("pid") in device_pids):
+            op_tracks.add((ev.get("pid"), ev.get("tid")))
+
+    totals, counts, sources = {}, {}, {}
+    for ev in events:
+        if (ev.get("ph") != "X"
+                or (ev.get("pid"), ev.get("tid")) not in op_tracks):
+            continue
+        name = ev["name"]
+        if name.startswith("while"):
+            continue  # loop wrappers double-count their body ops
+        totals[name] = totals.get(name, 0) + ev["dur"]
+        counts[name] = counts.get(name, 0) + 1
+        if name not in sources:
+            args = ev.get("args") or {}
+            src = str(args.get("source", ""))
+            src = re.sub(r"^/root/repo/", "", src)
+            tf_op = str(args.get("tf_op", ""))
+            sources[name] = (src[:48], tf_op[-70:])
     rows = sorted(totals.items(), key=lambda kv: -kv[1])
-    print(f"{'us_total':>12} {'n':>6}  op")
+    print(f"leaf device total: {sum(totals.values()) / 1000:.1f} ms")
+    print(f"{'ms_total':>9} {'n':>5}  {'op':24s} {'source':48s} tf_op")
     for name, us in rows[:top]:
-        print(f"{us:>12} {counts[name]:>6}  {name[:110]}")
+        src, tf_op = sources[name]
+        print(f"{us / 1000:9.3f} {counts[name]:5d}  {name[:24]:24s} "
+              f"{src:48s} {tf_op}")
 
 
 def main():

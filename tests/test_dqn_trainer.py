@@ -3,6 +3,7 @@ slot-scan self-play, pending-pair terminal crediting, n-step FIFO ->
 on-device replay -> minibatch updates)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from gymothelloenv_tpu.agents.dqn import DQNConfig
@@ -78,8 +79,16 @@ def test_dqn_bit_and_plane_collection_identical():
     (rb_bit, t_bit), (rb_plane, t_plane) = replays[False], replays[True]
     assert t_bit == t_plane > 0
     assert int(rb_bit.size) == int(rb_plane.size) > 0
-    for name in ("board", "turn", "action", "reward", "next_board",
-                 "next_turn", "done"):
-        np.testing.assert_array_equal(
-            np.asarray(getattr(rb_bit, name)),
-            np.asarray(getattr(rb_plane, name)), err_msg=name)
+    # The packed byte rows hold the whole (s, a, r, s', done) transition —
+    # bit-identical rows mean bit-identical replays.
+    np.testing.assert_array_equal(np.asarray(rb_bit.data),
+                                  np.asarray(rb_plane.data))
+    # And decoded fields agree too (exercises the unpack path).
+    from gymothelloenv_tpu.agents.replay import replay_gather
+    idx = jnp.arange(int(rb_bit.size))
+    for a, b, name in zip(replay_gather(rb_bit, idx),
+                          replay_gather(rb_plane, idx),
+                          ("board", "turn", "action", "reward",
+                           "next_board", "next_turn", "done")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
