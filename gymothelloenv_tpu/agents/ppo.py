@@ -42,6 +42,13 @@ class PPOConfig:
     # (utils.update_linear_schedule semantics).
     use_linear_lr_decay: bool = True
     num_updates: int = 10000
+    # Run Adam on ravel-flattened updates (optax.flatten): mathematically
+    # identical (global-norm clip and Adam are elementwise/global either
+    # way) but the optimizer state becomes single vectors.  Measured
+    # NEUTRAL on-chip (46.2 vs 46.3 ms/update, scripts/bench_flat_opt.py)
+    # — XLA's scan-carry handling doesn't care about leaf count here.
+    # Changes the opt_state checkpoint structure; kept off.
+    flatten_optimizer: bool = False
 
 
 @struct.dataclass
@@ -66,10 +73,11 @@ def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
             * cfg.num_mini_batch)
     else:
         schedule = cfg.lr
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adam(schedule, eps=cfg.adam_eps),
     )
+    return optax.flatten(opt) if cfg.flatten_optimizer else opt
 
 
 def compute_gae(rollout: Transition, bootstrap_value: jnp.ndarray,

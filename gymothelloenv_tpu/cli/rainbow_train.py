@@ -47,6 +47,12 @@ def main(argv=None):
     parser.add_argument("--load", type=str, default="")
     parser.add_argument("--log-dir", type=str, default="")
     parser.add_argument("--log-every", type=int, default=10)
+    parser.add_argument("--batch-size", type=int, default=32,
+                        help="train minibatch (reference: 32; raise with "
+                             "--train-interval for TPU-sized throughput "
+                             "mode at the same data/update ratio)")
+    parser.add_argument("--train-interval", type=int, default=4,
+                        help="transitions per update (dqn.py:353-354)")
     args, _ = parser.parse_known_args(argv)
 
     env_cfg = EnvConfig(board_size=args.board_size, num_disk_as_reward=True)
@@ -54,7 +60,8 @@ def main(argv=None):
         board_size=args.board_size, gamma=args.gamma, n_step=args.n_step,
         num_atoms=args.num_atoms, lr=args.lr,
         initial_replay_size=args.initial_replay_size,
-        target_update_interval=args.target_update_interval)
+        target_update_interval=args.target_update_interval,
+        batch_size=args.batch_size, train_interval=args.train_interval)
     rb_cfg = ReplayConfig(capacity=args.replay_size,
                           board_size=args.board_size, prioritized=True)
     run_cfg = DQNRunConfig(

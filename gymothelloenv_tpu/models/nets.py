@@ -130,25 +130,60 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+def _im2col_conv(x, kernel, bias, stride: int, pad: int, dtype):
+    """Apply a conv as im2col patches + one matmul.
+
+    Same math and params as the direct conv; autodiff's kernel gradient
+    becomes ``patches^T @ dy`` (a big-K contraction).  NOTE: measured
+    ~4.5x slower than the direct conv path on TPU (see ConvTrunk
+    docstring) — the tiny strided slices and their transposes cost more
+    than the conv-backward they replace.  Retained as an A/B probe.
+
+    ``x``: (B, h, w, cin) NHWC (single leading batch dim).
+    """
+    kh, kw, cin, cout = kernel.shape
+    b, h, w, _ = x.shape
+    if pad:
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    ho = (h + 2 * pad - kh) // stride + 1
+    wo = (w + 2 * pad - kw) // stride + 1
+    cols = [x[:, ky:ky + stride * (ho - 1) + 1:stride,
+              kx:kx + stride * (wo - 1) + 1:stride, :]
+            for ky in range(kh) for kx in range(kw)]
+    patches = jnp.concatenate(cols, axis=-1)      # (B, ho, wo, kh*kw*cin)
+    y = (patches.reshape(b * ho * wo, kh * kw * cin)
+         @ kernel.astype(dtype).reshape(kh * kw * cin, cout))
+    return y.reshape(b, ho, wo, cout) + bias.astype(dtype)
+
+
 class ConvTrunk(nn.Module):
     """conv(32,k3,s2,p1) -> conv(64,k2) -> conv(64,k2), ReLU between, then
     flatten (dqn.py:84-94 / ppo.py:33-69 / model.py:295-299).
 
-    ``lifted=True`` computes each conv as a dense matmul over flattened
-    board positions (see ``_lifted_conv``) — same math, same params, much
-    better MXU utilization for these tiny channel counts.  Keep it off for
-    paths that need bit-level agreement with the direct conv lowering.
+    ``impl`` selects the lowering — all three share the exact same param
+    tree (checkpoints interchange freely) and the same math:
+      * ``"conv"``: direct ``nn.Conv`` (XLA conv lowering).  **The
+        measured winner** on TPU at every dtype — keep it unless
+        re-measuring (scripts/bench_lifted_trunk.py).
+      * ``"im2col"``: patches + one matmul per layer (``_im2col_conv``).
+        Hypothesis was that autodiff's big-K kernel-grad matmuls would
+        beat XLA's transposed-conv lowering; measured ~4.5x SLOWER
+        (grad 2.9 -> 13.1 ms bf16) — the tiny strided slices and their
+        pad/add transposes dominate.  Kept as a documented probe.
+      * ``"lifted"``: whole conv as one dense (h·w·cin, ho·wo·cout)
+        matmul (``_lifted_conv``) — measured ~15% slower in-scan, kept
+        for A/B.
     """
     kernel_init: nn.initializers.Initializer
     dtype: jnp.dtype = jnp.float32
-    lifted: bool = False
+    impl: str = "conv"
 
     _SPECS = ((32, 3, 2, 1), (64, 2, 1, 0), (64, 2, 1, 0))
 
     @nn.compact
     def __call__(self, x):
         # x: (..., B, B, C) NHWC
-        if not self.lifted:
+        if self.impl == "conv":
             x = nn.Conv(32, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)),
                         kernel_init=self.kernel_init, dtype=self.dtype)(x)
@@ -162,15 +197,30 @@ class ConvTrunk(nn.Module):
             return x.reshape(x.shape[:-3] + (-1,))
 
         h, w, cin = x.shape[-3:]
-        y = x.astype(self.dtype).reshape(x.shape[:-3] + (h * w * cin,))
-        for i, (cout, k, stride, pad) in enumerate(self._SPECS):
-            kernel, bias = _ConvParams(
-                features=cout, kernel_size=(k, k), in_features=cin,
-                kernel_init=self.kernel_init, name=f"Conv_{i}")()
+        lead = x.shape[:-3]
+        params = [
+            _ConvParams(features=cout, kernel_size=(k, k), in_features=ci,
+                        kernel_init=self.kernel_init, name=f"Conv_{i}")()
+            for i, ((cout, k, stride, pad), ci) in enumerate(
+                zip(self._SPECS, (cin, self._SPECS[0][0],
+                                  self._SPECS[1][0])))]
+
+        if self.impl == "im2col":
+            y = x.astype(self.dtype).reshape((-1, h, w, cin))
+            for (kernel, bias), (cout, k, stride, pad) in zip(
+                    params, self._SPECS):
+                y = nn.relu(_im2col_conv(y, kernel, bias, stride, pad,
+                                         self.dtype))
+            return y.reshape(lead + (-1,))
+
+        if self.impl != "lifted":
+            raise ValueError(f"unknown ConvTrunk impl: {self.impl!r}")
+        y = x.astype(self.dtype).reshape(lead + (h * w * cin,))
+        for (kernel, bias), (cout, k, stride, pad) in zip(
+                params, self._SPECS):
             y, h, w = _lifted_conv(y, kernel, bias, h, w, stride, pad,
                                    self.dtype)
             y = nn.relu(y)
-            cin = cout
         return y
 
 
@@ -247,7 +297,8 @@ class PolicyNet(nn.Module):
     #   bfloat16 halves the HBM traffic of the (tiny-channel, bandwidth-
     #   bound) conv trunk on TPU; logits/value are cast back to float32 so
     #   sampling and losses are unaffected downstream.
-    lifted: bool = False  # dense-matmul trunk (same params; see ConvTrunk)
+    trunk_impl: str = "conv"  # conv | im2col | lifted (same params; see
+    #   ConvTrunk — "conv" is the measured winner, others are A/B probes)
 
     @nn.compact
     def __call__(self, x, h=None, mask=None):
@@ -255,7 +306,7 @@ class PolicyNet(nn.Module):
         trunk_init = nn.initializers.orthogonal(relu_gain)
         x = x.astype(self.dtype)
         x = ConvTrunk(kernel_init=trunk_init, dtype=self.dtype,
-                      lifted=self.lifted)(_to_nhwc(x))
+                      impl=self.trunk_impl)(_to_nhwc(x))
         x = nn.relu(nn.Dense(self.hidden_size, kernel_init=trunk_init,
                              bias_init=nn.initializers.zeros,
                              dtype=self.dtype)(x))

@@ -43,10 +43,10 @@ class SelfPlayConfig:
 
 
 def make_network(cfg: EnvConfig, recurrent: bool = False,
-                 bf16: bool = False, lifted: bool = False) -> PolicyNet:
+                 bf16: bool = False, trunk_impl: str = "conv") -> PolicyNet:
     return PolicyNet(num_actions=cfg.num_actions, recurrent=recurrent,
                      dtype=jnp.bfloat16 if bf16 else jnp.float32,
-                     lifted=lifted)
+                     trunk_impl=trunk_impl)
 
 
 def make_apply_fn(net: PolicyNet):

@@ -1,6 +1,5 @@
-"""A/B the PPO grad step and full update: direct conv trunk vs the lifted
-dense-matmul trunk (models/nets.py ConvTrunk(lifted=True)), float32 and
-bfloat16.  Single-dispatch scan harness (see profile_update_breakdown.py).
+"""A/B the PPO grad step and full update across ConvTrunk impls
+(conv | im2col | lifted — models/nets.py), float32 and bfloat16.  Single-dispatch scan harness (see profile_update_breakdown.py).
 
 Usage: python scripts/bench_lifted_trunk.py [T] [N]
 Prints one JSON line per (trunk, dtype) combo.
@@ -80,9 +79,9 @@ def main():
         legal=jnp.ones((T, N, 64), bool))
     boot = jnp.zeros((N,))
 
-    for lifted in (False, True):
+    for impl in ("conv", "im2col", "lifted"):
         for bf16 in (False, True):
-            net = make_network(env_cfg, bf16=bf16, lifted=lifted)
+            net = make_network(env_cfg, bf16=bf16, trunk_impl=impl)
             apply_fn = make_apply_fn(net)
             params = net.init(jax.random.PRNGKey(1),
                               jnp.zeros((1, 4, 8, 8)))
@@ -103,7 +102,7 @@ def main():
 
             dt_full = timed(full_update, jnp.float32(0))
             print(json.dumps({
-                "lifted": lifted, "bf16": bf16, "minibatch": M,
+                "impl": impl, "bf16": bf16, "minibatch": M,
                 "fwd_ms": round(dt_fwd * 1e3, 3),
                 "grad_ms": round(dt_grad * 1e3, 3),
                 "full_update_ms": round(dt_full * 1e3, 3),

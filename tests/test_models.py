@@ -155,16 +155,17 @@ def test_gaussian_and_bernoulli_heads_init_and_apply():
     assert bdist.logits.shape == (7, 5)
 
 
-def test_lifted_trunk_matches_direct():
-    """ConvTrunk(lifted=True) — the dense-matmul MXU path — must produce
-    the same outputs, gradients, and param tree as the direct conv path,
-    for 8x8 and a non-default board size."""
+def test_alt_trunks_match_direct():
+    """ConvTrunk impl='lifted'/'im2col' — the matmul-lowered paths — must
+    produce the same outputs, gradients, and param tree as the direct
+    conv path, for 8x8 and a non-default board size."""
     key = jax.random.PRNGKey(3)
-    for board in (8, 6):
+    import itertools
+    for board, impl in itertools.product((8, 6), ("lifted", "im2col")):
         acts = board * board
         obs = jax.random.normal(key, (16, 4, board, board))
         net = PolicyNet(num_actions=acts)
-        netl = PolicyNet(num_actions=acts, lifted=True)
+        netl = PolicyNet(num_actions=acts, trunk_impl=impl)
         params = net.init(key, obs[:1])
         params_l = netl.init(key, obs[:1])
         assert (jax.tree_util.tree_structure(params)
@@ -190,14 +191,14 @@ def test_lifted_trunk_matches_direct():
                                        atol=1e-5)
 
 
-def test_lifted_trunk_in_ppo_update():
-    """A full ppo_update through the lifted net runs and stays finite."""
+def test_alt_trunk_in_ppo_update():
+    """A full ppo_update through the im2col net runs and stays finite."""
     from gymothelloenv_tpu.agents.ppo import (PPOConfig, Transition,
                                               make_optimizer, ppo_update)
 
     key = jax.random.PRNGKey(4)
     T, N = 8, 16
-    net = PolicyNet(num_actions=64, lifted=True)
+    net = PolicyNet(num_actions=64, trunk_impl="im2col")
     params = net.init(key, jnp.zeros((1, 4, 8, 8)))
     cfg = PPOConfig(num_updates=2)
     opt = make_optimizer(cfg)

@@ -250,3 +250,37 @@ def test_ppo_update_recurrent_learns():
         losses.append(float(metrics["value_loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0]
+
+
+def test_flatten_optimizer_matches_unflattened():
+    """PPOConfig.flatten_optimizer runs Adam on raveled updates — same
+    math (elementwise Adam, global-norm clip), different state layout.
+    Updated params must agree to float noise."""
+    key = jax.random.PRNGKey(3)
+    T, N = 6, 8
+    net = PolicyNet(num_actions=64)
+    params = net.init(key, jnp.zeros((1, 4, 8, 8)))
+    ks = jax.random.split(key, 6)
+    roll = Transition(
+        obs=jax.random.bernoulli(ks[0], 0.3, (T, N, 4, 8, 8)).astype(
+            jnp.int8),
+        action=jax.random.randint(ks[1], (T, N), 0, 64),
+        logp=-jnp.abs(jax.random.normal(ks[2], (T, N))),
+        value=jax.random.normal(ks[3], (T, N)) * 0.1,
+        reward=jax.random.normal(ks[4], (T, N)) * 0.1,
+        done=jax.random.bernoulli(ks[5], 0.1, (T, N)),
+        legal=jnp.ones((T, N, 64), bool))
+    apply_fn = lambda p, o: net.apply(p, o)  # noqa: E731
+
+    outs = []
+    for flat in (False, True):
+        cfg = PPOConfig(num_updates=2, flatten_optimizer=flat)
+        opt = make_optimizer(cfg)
+        p2, _, _ = jax.jit(
+            lambda p, o, r, k, opt=opt, cfg=cfg: ppo_update(
+                p, o, r, jnp.zeros((N,)), k, apply_fn, opt, cfg))(
+            params, opt.init(params), roll, jax.random.PRNGKey(11))
+        outs.append(p2)
+    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
