@@ -1,19 +1,16 @@
 """Capture a jax.profiler device trace of the full PPO update and print the
 op-level time breakdown (top XLA ops by total device time).
 
-The tunnel backend has no TensorBoard; this parses the perfetto
-trace.json.gz the profiler writes and aggregates durations by op name, so
-update-tuning decisions are driven by measured HLO costs, not guesses.
+The tunnel backend has no TensorBoard; ``utils.profiling.summarize_trace``
+parses the perfetto trace.json.gz the profiler writes and aggregates
+durations by op name, so update-tuning decisions are driven by measured
+HLO costs, not guesses.
 
-Usage: python scripts/trace_update.py [T] [N] [--bf16] [--lifted]
+Usage: python scripts/trace_update.py [T] [N] [--bf16] [--impl=<trunk>]
 """
 
 from __future__ import annotations
 
-import glob
-import gzip
-import json
-import re
 import sys
 import tempfile
 
@@ -21,6 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from gymothelloenv_tpu.utils import tpu
+from gymothelloenv_tpu.utils.profiling import (format_op_table,
+                                               summarize_trace)
 
 
 def capture(fn, args, trace_dir):
@@ -33,61 +32,7 @@ def capture(fn, args, trace_dir):
 
 
 def summarize(trace_dir, top=45):
-    """Aggregate device time per HLO op from the 'XLA Ops' trace track,
-    with each op's Python source attribution — the data that drives
-    update-tuning decisions (per-op costs, not guesses)."""
-    paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    if not paths:
-        print("no trace files found under", trace_dir)
-        return
-    events = []
-    for p in paths:
-        with gzip.open(p, "rt") as f:
-            data = json.load(f)
-        events.extend(data.get("traceEvents", []))
-
-    # Identify the device-side 'XLA Ops' tracks from track metadata.
-    op_tracks = set()
-    device_pids = set()
-    for ev in events:
-        if ev.get("ph") != "M":
-            continue
-        args = ev.get("args") or {}
-        if (ev.get("name") == "process_name"
-                and "/device:" in str(args.get("name", ""))):
-            device_pids.add(ev.get("pid"))
-    for ev in events:
-        if ev.get("ph") != "M":
-            continue
-        args = ev.get("args") or {}
-        if (ev.get("name") == "thread_name"
-                and args.get("name") == "XLA Ops"
-                and ev.get("pid") in device_pids):
-            op_tracks.add((ev.get("pid"), ev.get("tid")))
-
-    totals, counts, sources = {}, {}, {}
-    for ev in events:
-        if (ev.get("ph") != "X"
-                or (ev.get("pid"), ev.get("tid")) not in op_tracks):
-            continue
-        name = ev["name"]
-        if name.startswith("while"):
-            continue  # loop wrappers double-count their body ops
-        totals[name] = totals.get(name, 0) + ev["dur"]
-        counts[name] = counts.get(name, 0) + 1
-        if name not in sources:
-            args = ev.get("args") or {}
-            src = str(args.get("source", ""))
-            src = re.sub(r"^/root/repo/", "", src)
-            tf_op = str(args.get("tf_op", ""))
-            sources[name] = (src[:48], tf_op[-70:])
-    rows = sorted(totals.items(), key=lambda kv: -kv[1])
-    print(f"leaf device total: {sum(totals.values()) / 1000:.1f} ms")
-    print(f"{'ms_total':>9} {'n':>5}  {'op':24s} {'source':48s} tf_op")
-    for name, us in rows[:top]:
-        src, tf_op = sources[name]
-        print(f"{us / 1000:9.3f} {counts[name]:5d}  {name[:24]:24s} "
-              f"{src:48s} {tf_op}")
+    print(format_op_table(summarize_trace(trace_dir), top=top))
 
 
 def main():
@@ -100,7 +45,8 @@ def main():
 
     argv = [a for a in sys.argv[1:]]
     bf16 = "--bf16" in argv
-    lifted = "--lifted" in argv
+    impl = next((a.split("=", 1)[1] for a in argv
+                 if a.startswith("--impl=")), "conv")
     pos = [a for a in argv if not a.startswith("--")]
     T = int(pos[0]) if pos else 64
     N = int(pos[1]) if len(pos) > 1 else 4096
@@ -108,7 +54,7 @@ def main():
     env_cfg = EnvConfig()
     ppo_cfg = PPOConfig()
     optimizer = make_optimizer(ppo_cfg)
-    net = make_network(env_cfg, bf16=bf16, lifted=lifted)
+    net = make_network(env_cfg, bf16=bf16, trunk_impl=impl)
     apply_fn = make_apply_fn(net)
     params = net.init(jax.random.PRNGKey(1), jnp.zeros((1, 4, 8, 8)))
     opt_state = optimizer.init(params)
