@@ -22,6 +22,7 @@ from gymothelloenv_tpu.agents.replay import (Replay, ReplayConfig,
                                              replay_sample_idx,
                                              replay_update_priorities)
 from gymothelloenv_tpu.models.nets import DQNNet, DuelingDQNNet
+from gymothelloenv_tpu.ops.gather import onehot_select_last
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,7 +144,7 @@ def dqn_train_batch(state: DQNState, replay: Replay, cfg: DQNConfig,
     if cfg.double:
         online_next = apply_fn(state.params, next_obs)
         next_a = jnp.argmax(online_next, axis=-1)
-        boot = jnp.take_along_axis(target_q, next_a[:, None], -1)[:, 0]
+        boot = onehot_select_last(target_q, next_a)
     else:
         boot = target_q.max(axis=-1)
     y = reward + (1.0 - done.astype(jnp.float32)) * cfg.gamma_n * boot
@@ -153,7 +154,7 @@ def dqn_train_batch(state: DQNState, replay: Replay, cfg: DQNConfig,
 
     def loss_fn(params):
         q = apply_fn(params, featurize3(board, turn))
-        q_a = jnp.take_along_axis(q, action[:, None], -1)[:, 0]
+        q_a = onehot_select_last(q, action)
         td = y - q_a
         return optax.huber_loss(q_a, y).mean(), td
 

@@ -109,13 +109,16 @@ def nstep_push(fifo: NStepFifo, gamma: float,
         return (w[:, None] * r).sum(axis=0)
     R = jnp.stack([suffix(k) for k in range(n)])      # (n, N)
 
-    newest_next_board = jnp.take_along_axis(
-        fifo.next_board, newest[None, :, None, None].astype(jnp.int32),
-        axis=0)[0]
-    newest_next_turn = jnp.take_along_axis(
-        fifo.next_turn, newest[None, :], axis=0)[0]
-    newest_done = jnp.take_along_axis(fifo.done, newest[None, :],
-                                      axis=0)[0]
+    # One-hot pick of FIFO row `newest` per game (n is tiny, so the
+    # masked reduce is ~free; take_along_axis gathers are not — see
+    # ops/gather.py).
+    sel = jnp.arange(n)[:, None] == newest[None, :].astype(jnp.int32)
+    newest_next_board = jnp.where(
+        sel[:, :, None, None], fifo.next_board, 0).sum(0).astype(
+        fifo.next_board.dtype)
+    newest_next_turn = jnp.where(sel, fifo.next_turn, 0).sum(0).astype(
+        fifo.next_turn.dtype)
+    newest_done = jnp.where(sel, fifo.done, False).any(axis=0)
 
     emitted = Emitted(
         board=fifo.board, turn=fifo.turn, action=fifo.action, reward=R,

@@ -191,18 +191,20 @@ def rainbow_train_batch(state: DQNState, replay: Replay,
     online_next = apply_fn(state.params, next_obs, k_online)
     next_a = jnp.argmax(expected_q(online_next, cfg), axis=-1)
     target_next = apply_fn(state.target_params, next_obs, k_target)
-    next_probs = jnp.exp(jnp.take_along_axis(
-        target_next, next_a[:, None, None].repeat(cfg.num_atoms, -1),
-        axis=1)[:, 0])
+    # One-hot pick of the chosen action's atom row (exact; avoids the
+    # fixed per-row cost of take_along_axis gathers — ops/gather.py).
+    next_oh = (next_a[:, None]
+               == jnp.arange(target_next.shape[1]))[..., None]
+    next_probs = jnp.exp(
+        jnp.where(next_oh, target_next, 0.0).sum(axis=1))
     proj = _project_distribution(next_probs, reward,
                                  1.0 - done.astype(jnp.float32), cfg)
     proj = jax.lax.stop_gradient(proj)
 
     def loss_fn(params):
         log_p = apply_fn(params, featurize3(board, turn), k_train)
-        log_pa = jnp.take_along_axis(
-            log_p, action[:, None, None].repeat(cfg.num_atoms, -1),
-            axis=1)[:, 0]
+        act_oh = (action[:, None] == jnp.arange(log_p.shape[1]))[..., None]
+        log_pa = jnp.where(act_oh, log_p, 0.0).sum(axis=1)
         kl = -(proj * log_pa).sum(-1)
         return kl.mean(), kl
 

@@ -124,7 +124,10 @@ def summarize_trace(trace_dir: str) -> list[OpCost]:
                 or (ev.get("pid"), ev.get("tid")) not in op_tracks):
             continue
         name = ev["name"]
-        if name.startswith("while"):
+        # Control-flow wrappers (while/conditional) report durations that
+        # INCLUDE their body ops, which also appear as separate events —
+        # keeping both would double-count.
+        if name.startswith(("while", "conditional")):
             continue
         cost = totals.get(name)
         if cost is None:

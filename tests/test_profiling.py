@@ -32,6 +32,8 @@ def _write_trace(tmp_path):
                              "tf_op": "jit(f)/conv:"}},
         {"ph": "X", "pid": 3, "tid": 3, "name": "while.9", "dur": 500,
          "ts": 0, "args": {}},
+        {"ph": "X", "pid": 3, "tid": 3, "name": "conditional.4",
+         "dur": 400, "ts": 0, "args": {}},
         {"ph": "X", "pid": 7, "tid": 1, "name": "hostwork", "dur": 900,
          "ts": 0, "args": {}},
     ]
