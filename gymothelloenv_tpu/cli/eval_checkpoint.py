@@ -46,8 +46,6 @@ def main(argv=None):
     args, _ = parser.parse_known_args(argv)
 
     cfg = EnvConfig(board_size=args.board_size)
-    net = make_network(cfg)
-    apply_fn = make_apply_fn(net)
     if args.load.endswith((".pth", ".pt")):
         from gymothelloenv_tpu.compat.torch_import import (
             detect_and_import, imported_apply_fn, load_torch_checkpoint)
@@ -56,10 +54,22 @@ def main(argv=None):
               f"(architecture: {kind})")
         apply_fn = imported_apply_fn(kind, cfg)
     else:
+        # Infer the net's capacity knobs from the stored param shapes so
+        # non-default --hidden-size/--width-mult checkpoints just work.
+        raw_step, raw_params, _, _ = load_checkpoint(args.load)
+        trunk = raw_params["params"]["ConvTrunk_0"]
+        width_mult = int(trunk["Conv_0"]["kernel"].shape[-1]) // 32
+        hidden_size = int(
+            raw_params["params"]["Dense_0"]["kernel"].shape[-1])
+        net = make_network(cfg, hidden_size=hidden_size,
+                           width_mult=width_mult)
+        apply_fn = make_apply_fn(net)
         dummy = jnp.zeros((1, 4, cfg.board_size, cfg.board_size))
         template = net.init(jax.random.PRNGKey(0), dummy)
         step, params, _, _ = load_checkpoint(args.load, template, None)
-        print(f"loaded {args.load} (step {step})")
+        extra = ("" if width_mult == 1 and hidden_size == 512 else
+                 f", width_mult={width_mult}, hidden={hidden_size}")
+        print(f"loaded {args.load} (step {step}{extra})")
 
     opp = policy_from_spec(args.opponent, cfg)
     n = args.games // 2

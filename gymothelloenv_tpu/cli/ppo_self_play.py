@@ -44,6 +44,12 @@ def main(argv=None):
     parser.add_argument("--load", type=str, default="")
     parser.add_argument("--log-dir", type=str, default="")
     parser.add_argument("--log-every", type=int, default=10)
+    parser.add_argument("--hidden-size", type=int, default=512,
+                        help="fc width (512 = reference parity)")
+    parser.add_argument("--width-mult", type=int, default=1,
+                        help="trunk channel multiplier (1 = parity "
+                             "32/64/64; RESULTS.md documents a strength "
+                             "plateau at parity capacity)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 net compute (params stay fp32; "
                              "~17%% faster updates at num-envs 4096)")
@@ -64,7 +70,8 @@ def main(argv=None):
         num_test_games=args.num_test_games,
         test_interval=args.test_interval,
         save_interval=args.save_interval, seed=args.seed,
-        bf16=args.bf16)
+        bf16=args.bf16, hidden_size=args.hidden_size,
+        width_mult=args.width_mult)
 
     logger = MetricsLogger(args.log_dir) if args.log_dir else None
     trainer = PPOSelfPlayTrainer(

@@ -177,21 +177,31 @@ class ConvTrunk(nn.Module):
     kernel_init: nn.initializers.Initializer
     dtype: jnp.dtype = jnp.float32
     impl: str = "conv"
+    width_mult: int = 1   # channel multiplier (1 = reference-parity
+    #   32/64/64 trunk; >1 widens every conv — the strength plateau at
+    #   parity capacity is documented in RESULTS.md)
 
-    _SPECS = ((32, 3, 2, 1), (64, 2, 1, 0), (64, 2, 1, 0))
+    _BASE_SPECS = ((32, 3, 2, 1), (64, 2, 1, 0), (64, 2, 1, 0))
+
+    @property
+    def _specs(self):
+        return tuple((c * self.width_mult, k, s, p)
+                     for c, k, s, p in self._BASE_SPECS)
 
     @nn.compact
     def __call__(self, x):
         # x: (..., B, B, C) NHWC
+        specs = self._specs
         if self.impl == "conv":
-            x = nn.Conv(32, (3, 3), strides=(2, 2),
-                        padding=((1, 1), (1, 1)),
+            (c0, k0, s0, p0), (c1, k1, _, _), (c2, k2, _, _) = specs
+            x = nn.Conv(c0, (k0, k0), strides=(s0, s0),
+                        padding=((p0, p0), (p0, p0)),
                         kernel_init=self.kernel_init, dtype=self.dtype)(x)
             x = nn.relu(x)
-            x = nn.Conv(64, (2, 2), padding="VALID",
+            x = nn.Conv(c1, (k1, k1), padding="VALID",
                         kernel_init=self.kernel_init, dtype=self.dtype)(x)
             x = nn.relu(x)
-            x = nn.Conv(64, (2, 2), padding="VALID",
+            x = nn.Conv(c2, (k2, k2), padding="VALID",
                         kernel_init=self.kernel_init, dtype=self.dtype)(x)
             x = nn.relu(x)
             return x.reshape(x.shape[:-3] + (-1,))
@@ -202,13 +212,12 @@ class ConvTrunk(nn.Module):
             _ConvParams(features=cout, kernel_size=(k, k), in_features=ci,
                         kernel_init=self.kernel_init, name=f"Conv_{i}")()
             for i, ((cout, k, stride, pad), ci) in enumerate(
-                zip(self._SPECS, (cin, self._SPECS[0][0],
-                                  self._SPECS[1][0])))]
+                zip(specs, (cin, specs[0][0], specs[1][0])))]
 
         if self.impl == "im2col":
             y = x.astype(self.dtype).reshape((-1, h, w, cin))
             for (kernel, bias), (cout, k, stride, pad) in zip(
-                    params, self._SPECS):
+                    params, specs):
                 y = nn.relu(_im2col_conv(y, kernel, bias, stride, pad,
                                          self.dtype))
             return y.reshape(lead + (-1,))
@@ -217,7 +226,7 @@ class ConvTrunk(nn.Module):
             raise ValueError(f"unknown ConvTrunk impl: {self.impl!r}")
         y = x.astype(self.dtype).reshape(lead + (h * w * cin,))
         for (kernel, bias), (cout, k, stride, pad) in zip(
-                params, self._SPECS):
+                params, specs):
             y, h, w = _lifted_conv(y, kernel, bias, h, w, stride, pad,
                                    self.dtype)
             y = nn.relu(y)
@@ -299,6 +308,7 @@ class PolicyNet(nn.Module):
     #   sampling and losses are unaffected downstream.
     trunk_impl: str = "conv"  # conv | im2col | lifted (same params; see
     #   ConvTrunk — "conv" is the measured winner, others are A/B probes)
+    width_mult: int = 1       # trunk channel multiplier (1 = parity)
 
     @nn.compact
     def __call__(self, x, h=None, mask=None):
@@ -306,7 +316,8 @@ class PolicyNet(nn.Module):
         trunk_init = nn.initializers.orthogonal(relu_gain)
         x = x.astype(self.dtype)
         x = ConvTrunk(kernel_init=trunk_init, dtype=self.dtype,
-                      impl=self.trunk_impl)(_to_nhwc(x))
+                      impl=self.trunk_impl,
+                      width_mult=self.width_mult)(_to_nhwc(x))
         x = nn.relu(nn.Dense(self.hidden_size, kernel_init=trunk_init,
                              bias_init=nn.initializers.zeros,
                              dtype=self.dtype)(x))

@@ -40,13 +40,20 @@ class SelfPlayConfig:
     save_interval: int = 500
     seed: int = 0
     bf16: bool = False             # bfloat16 net compute (params fp32)
+    # Capacity knobs beyond reference parity (RESULTS.md documents a
+    # strength plateau at the parity net's capacity):
+    hidden_size: int = 512         # fc width (reference: 512)
+    width_mult: int = 1            # trunk channel multiplier
 
 
 def make_network(cfg: EnvConfig, recurrent: bool = False,
-                 bf16: bool = False, trunk_impl: str = "conv") -> PolicyNet:
+                 bf16: bool = False, trunk_impl: str = "conv",
+                 hidden_size: int = 512,
+                 width_mult: int = 1) -> PolicyNet:
     return PolicyNet(num_actions=cfg.num_actions, recurrent=recurrent,
                      dtype=jnp.bfloat16 if bf16 else jnp.float32,
-                     trunk_impl=trunk_impl)
+                     trunk_impl=trunk_impl, hidden_size=hidden_size,
+                     width_mult=width_mult)
 
 
 def make_apply_fn(net: PolicyNet):
@@ -77,7 +84,9 @@ class PPOSelfPlayTrainer:
         self.run_cfg = run_cfg or SelfPlayConfig()
         self.log_fn = log_fn
 
-        self.net = make_network(self.env_cfg, bf16=self.run_cfg.bf16)
+        self.net = make_network(self.env_cfg, bf16=self.run_cfg.bf16,
+                                hidden_size=self.run_cfg.hidden_size,
+                                width_mult=self.run_cfg.width_mult)
         self.apply_fn = make_apply_fn(self.net)
         self.optimizer = make_optimizer(self.ppo_cfg)
 

@@ -222,3 +222,36 @@ def test_alt_trunk_in_ppo_update():
                for m in jax.tree.leaves(metrics))
     assert all(np.isfinite(np.asarray(p)).all()
                for p in jax.tree.leaves(params2))
+
+
+def test_width_mult_and_hidden_size():
+    """Capacity knobs beyond reference parity: width_mult scales every
+    trunk conv; hidden_size the fc. Default (1, 512) stays parity."""
+    key = jax.random.PRNGKey(5)
+    obs = jnp.zeros((2, 4, 8, 8))
+    wide = PolicyNet(num_actions=64, width_mult=2, hidden_size=1024)
+    params = wide.init(key, obs)
+    trunk = params["params"]["ConvTrunk_0"]
+    assert trunk["Conv_0"]["kernel"].shape == (3, 3, 4, 64)
+    assert trunk["Conv_1"]["kernel"].shape == (2, 2, 64, 128)
+    assert trunk["Conv_2"]["kernel"].shape == (2, 2, 128, 128)
+    assert params["params"]["Dense_0"]["kernel"].shape == (512, 1024)
+    logits, value, _ = wide.apply(params, obs)
+    assert logits.shape == (2, 64) and value.shape == (2,)
+
+    # Parity default unchanged.
+    base = PolicyNet(num_actions=64)
+    pb = base.init(key, obs)
+    assert pb["params"]["ConvTrunk_0"]["Conv_0"]["kernel"].shape == (
+        3, 3, 4, 32)
+
+    # Wide + lifted/im2col impls still share the param tree.
+    for impl in ("lifted", "im2col"):
+        alt = PolicyNet(num_actions=64, width_mult=2, hidden_size=1024,
+                        trunk_impl=impl)
+        pa = alt.init(key, obs)
+        assert (jax.tree_util.tree_structure(pa)
+                == jax.tree_util.tree_structure(params))
+        la, va, _ = alt.apply(params, obs)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(logits),
+                                   atol=1e-5)
