@@ -36,8 +36,7 @@ from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gymothelloenv_tpu.core.bitboard import (legal_mask2, resolve_flips2,
-                                             shift2)
+from gymothelloenv_tpu.core.bitboard import (legal_mask2, resolve_flips2)
 
 ROWS = 8   # sublane dimension of the state arrays
 

@@ -20,7 +20,6 @@ target_update_interval, reward_scale, batch_size, board_size).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from gymothelloenv_tpu.agents.dqn import featurize3, greedy_legal_action

@@ -15,7 +15,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from gymothelloenv_tpu.agents.replay import (Replay, ReplayConfig,
+from gymothelloenv_tpu.agents.replay import (ReplayConfig,
                                              replay_gather, replay_init,
                                              replay_insert,
                                              replay_sample_idx)

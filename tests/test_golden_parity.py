@@ -17,8 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gymothelloenv_tpu import EnvConfig, reset, step, legal_actions
-from gymothelloenv_tpu.core.state import OthelloState
+from gymothelloenv_tpu import EnvConfig, reset, step
 from gymothelloenv_tpu.policies import greedy_action, maximin_action
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "golden_games.json")
