@@ -50,6 +50,13 @@ def main(argv=None):
                         help="trunk channel multiplier (1 = parity "
                              "32/64/64; RESULTS.md documents a strength "
                              "plateau at parity capacity)")
+    parser.add_argument("--opponent-pool", type=int, default=0,
+                        help="league-lite: >0 plays the non-learning "
+                             "color with a random snapshot from the last "
+                             "K pool entries (0 = reference mirror "
+                             "self-play)")
+    parser.add_argument("--pool-interval", type=int, default=250,
+                        help="updates between pool snapshots")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 net compute (params stay fp32; "
                              "~17%% faster updates at num-envs 4096)")
@@ -71,7 +78,8 @@ def main(argv=None):
         test_interval=args.test_interval,
         save_interval=args.save_interval, seed=args.seed,
         bf16=args.bf16, hidden_size=args.hidden_size,
-        width_mult=args.width_mult)
+        width_mult=args.width_mult, opponent_pool=args.opponent_pool,
+        pool_interval=args.pool_interval)
 
     logger = MetricsLogger(args.log_dir) if args.log_dir else None
     trainer = PPOSelfPlayTrainer(

@@ -6,6 +6,7 @@ checkpoints — the end-to-end equivalent of ``ppo_run_self_play.test()``
 from __future__ import annotations
 
 import dataclasses
+import random as pyrandom
 import time
 from typing import Callable, Optional
 
@@ -44,6 +45,16 @@ class SelfPlayConfig:
     # strength plateau at the parity net's capacity):
     hidden_size: int = 512         # fc width (reference: 512)
     width_mult: int = 1            # trunk channel multiplier
+    # Opponent pool (league-lite, beyond reference): when > 0, the
+    # NON-learning color of each rollout is played by a frozen snapshot
+    # drawn uniformly from the last ``opponent_pool`` snapshots (pushed
+    # every ``pool_interval`` updates) instead of the live net.  Mirror
+    # self-play over-exploits its own current policy late in training
+    # (RESULTS.md: 10000-update run WORSE than 4000 vs scripted
+    # opponents); a pool keeps the opponent distribution broad.  0 =
+    # reference-parity mirror self-play.
+    opponent_pool: int = 0
+    pool_interval: int = 250
 
 
 def make_network(cfg: EnvConfig, recurrent: bool = False,
@@ -105,10 +116,12 @@ class PPOSelfPlayTrainer:
         apply_fn = self.apply_fn
         optimizer = self.optimizer
 
-        def train_step(params, opt_state, sp_state, key):
+        use_pool = run_cfg_.opponent_pool > 0
+
+        def train_step(params, opt_state, sp_state, key, opp_params=None):
             sp_state, rollout, bootstrap = collect_rollout(
                 params, apply_fn, sp_state, env_cfg_, run_cfg_.num_steps,
-                run_cfg_.init_rand_steps)
+                run_cfg_.init_rand_steps, opp_params=opp_params)
             params, opt_state, metrics = ppo_update(
                 params, opt_state, rollout, bootstrap, key, apply_fn,
                 optimizer, ppo_cfg_)
@@ -118,7 +131,15 @@ class PPOSelfPlayTrainer:
             metrics["episodes"] = rollout.done.sum()
             return params, opt_state, sp_state, metrics
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        if use_pool:
+            self._train_step = jax.jit(train_step,
+                                       donate_argnums=(0, 1, 2))
+        else:
+            self._train_step = jax.jit(
+                lambda p, o, s, k: train_step(p, o, s, k),
+                donate_argnums=(0, 1, 2))
+        self.pool: list = []
+        self._pool_rng = pyrandom.Random(self.run_cfg.seed)
 
         def eval_step(params, key):
             """Win rates vs rand & greedy, policy color randomized by
@@ -156,12 +177,27 @@ class PPOSelfPlayTrainer:
                 cfg=self.env_cfg, num_envs=self.run_cfg.num_envs,
                 init_rand_steps=self.run_cfg.init_rand_steps)
 
+    def _snapshot_params(self):
+        return jax.tree.map(lambda x: x.copy(), self.params)
+
     def _do_update(self, key):
         """One training update — the hook subclasses override to swap the
         algorithm (A2C, ACKTR, GAIL) while reusing the train loop."""
-        self.params, self.opt_state, self.sp_state, metrics = \
-            self._train_step(self.params, self.opt_state,
-                             self.sp_state, key)
+        if self.run_cfg.opponent_pool > 0:
+            if not self.pool:
+                self.pool.append(self._snapshot_params())
+            opp = self.pool[self._pool_rng.randrange(len(self.pool))]
+            self.params, self.opt_state, self.sp_state, metrics = \
+                self._train_step(self.params, self.opt_state,
+                                 self.sp_state, key, opp)
+            if (self.update_count + 1) % self.run_cfg.pool_interval == 0:
+                self.pool.append(self._snapshot_params())
+                if len(self.pool) > self.run_cfg.opponent_pool:
+                    self.pool.pop(0)
+        else:
+            self.params, self.opt_state, self.sp_state, metrics = \
+                self._train_step(self.params, self.opt_state,
+                                 self.sp_state, key)
         return metrics
 
     def train(self, num_updates: int, log_every: int = 10,

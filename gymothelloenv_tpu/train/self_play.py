@@ -168,9 +168,17 @@ def selfplay_init(params, apply_fn: ApplyFn, key: jax.Array,
                   cfg: EnvConfig, num_envs: int,
                   init_rand_steps: int = 0,
                   logp_mode: str = "masked",
-                  force_plane: bool = False) -> SelfPlayState:
-    """Fresh games + first protagonist decision (the initial pending)."""
+                  force_plane: bool = False,
+                  opp_params=None) -> SelfPlayState:
+    """Fresh games + first protagonist decision (the initial pending).
+
+    ``opp_params`` (optional) plays the NON-learning color — mirror
+    self-play when None (the reference's single shared policy,
+    run_self_play.py:95-103), a frozen snapshot when given (opponent-pool
+    training; see PPOSelfPlayTrainer)."""
     eng = get_engine(cfg, force_plane)
+    if opp_params is None:
+        opp_params = params
     key, k_env, k_color, k_rand = jax.random.split(key, 4)
     env_keys = jax.random.split(k_env, num_envs)
     env = eng.reset_batch(num_envs, cfg)
@@ -180,7 +188,7 @@ def selfplay_init(params, apply_fn: ApplyFn, key: jax.Array,
               - 1).astype(jnp.int8)
 
     env, rand_left, env_keys = advance_opponent(
-        params, apply_fn, eng, env, rand_left, env_keys, pcolor, cfg)
+        opp_params, apply_fn, eng, env, rand_left, env_keys, pcolor, cfg)
     env, rand_left, env_keys, pending = protagonist_act(
         params, apply_fn, eng, env, rand_left, env_keys, cfg, logp_mode)
     return SelfPlayState(env=env, rand_left=rand_left, pcolor=pcolor,
@@ -191,7 +199,8 @@ def collect_rollout(params, apply_fn: ApplyFn, sp: SelfPlayState,
                     cfg: EnvConfig, num_steps: int,
                     init_rand_steps: int = 0,
                     logp_mode: str = "masked",
-                    force_plane: bool = False):
+                    force_plane: bool = False,
+                    opp_params=None):
     """Scan ``num_steps`` slots; returns (new_state, Transition (T, N, ...),
     bootstrap_value (N,)).
 
@@ -200,13 +209,17 @@ def collect_rollout(params, apply_fn: ApplyFn, sp: SelfPlayState,
     (ppo_run_self_play.py:199-203) without the extra forward pass.
 
     ``force_plane`` must match the ``selfplay_init`` that built ``sp``.
+    ``opp_params`` (optional) plays the non-learning color (opponent-pool
+    training); None = mirror self-play (reference semantics).
     """
     eng = get_engine(cfg, force_plane)
+    if opp_params is None:
+        opp_params = params
 
     def slot(sp: SelfPlayState, _):
         # Phase A: opponent plies until protagonist turn or termination.
         env, rand_left, env_keys = advance_opponent(
-            params, apply_fn, eng, sp.env, sp.rand_left, sp.env_keys,
+            opp_params, apply_fn, eng, sp.env, sp.rand_left, sp.env_keys,
             sp.pcolor, cfg)
 
         # Emit the pending transition.
@@ -223,7 +236,8 @@ def collect_rollout(params, apply_fn: ApplyFn, sp: SelfPlayState,
 
         # Phase B2: fresh white-protagonist games need black's reply first.
         env, rand_left, env_keys = advance_opponent(
-            params, apply_fn, eng, env, rand_left, env_keys, pcolor, cfg)
+            opp_params, apply_fn, eng, env, rand_left, env_keys, pcolor,
+            cfg)
 
         # Phase C: protagonist decision becomes the new pending.
         env, rand_left, env_keys, pending = protagonist_act(

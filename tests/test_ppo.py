@@ -284,3 +284,37 @@ def test_flatten_optimizer_matches_unflattened():
     for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_opponent_pool_training():
+    """League-lite: the non-learning color plays a frozen pool snapshot.
+    Pool fills at pool_interval, caps at opponent_pool, and training
+    still learns/runs end-to-end."""
+    trainer = PPOSelfPlayTrainer(
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        ppo_cfg=PPOConfig(num_updates=8),
+        run_cfg=SelfPlayConfig(num_envs=8, num_steps=8, seed=1,
+                               opponent_pool=2, pool_interval=2,
+                               test_interval=10_000,
+                               save_interval=10_000),
+        log_fn=lambda step, m: None)
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), trainer.params)
+    trainer.train(6, log_every=100)
+    assert len(trainer.pool) == 2  # capped
+    # Pool entries are distinct buffers from the live (donated) params.
+    for snap in trainer.pool:
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree.leaves(snap))
+    changed = any(
+        not np.array_equal(np.asarray(a), b) for a, b in zip(
+            jax.tree.leaves(trainer.params), jax.tree.leaves(p0)))
+    assert changed
+    # Mirror self-play (pool=0) still runs through the same trainer.
+    t2 = PPOSelfPlayTrainer(
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        ppo_cfg=PPOConfig(num_updates=2),
+        run_cfg=SelfPlayConfig(num_envs=8, num_steps=8, seed=1,
+                               test_interval=10_000,
+                               save_interval=10_000),
+        log_fn=lambda step, m: None)
+    t2.train(2, log_every=100)
