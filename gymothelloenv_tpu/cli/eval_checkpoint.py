@@ -20,14 +20,11 @@ import functools
 import time
 
 import jax
-import jax.numpy as jnp
 
 from gymothelloenv_tpu.core.state import EnvConfig
-from gymothelloenv_tpu.train.ppo_trainer import (make_apply_fn,
-                                                 make_network,
+from gymothelloenv_tpu.train.ppo_trainer import (load_eval_policy,
                                                  net_tournament_policy)
 from gymothelloenv_tpu.train.tournament import play_games_impl
-from gymothelloenv_tpu.utils.checkpoint import load_checkpoint
 
 
 def main(argv=None):
@@ -37,7 +34,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--load", type=str, required=True)
     parser.add_argument("--opponent", type=str, default="greedy",
-                        help="rand | greedy | maximin-<k>")
+                        help="rand | greedy | maximin-<k> | "
+                             "ckpt:<path> / *.msgpack / *.pth "
+                             "(head-to-head vs another checkpoint)")
     parser.add_argument("--games", type=int, default=200,
                         help="total games; half as black, half as white")
     parser.add_argument("--board-size", type=int, default=8)
@@ -46,32 +45,20 @@ def main(argv=None):
     args, _ = parser.parse_known_args(argv)
 
     cfg = EnvConfig(board_size=args.board_size)
-    if args.load.endswith((".pth", ".pt")):
-        from gymothelloenv_tpu.compat.torch_import import (
-            detect_and_import, imported_apply_fn, load_torch_checkpoint)
-        kind, params = detect_and_import(load_torch_checkpoint(args.load))
-        print(f"imported reference torch checkpoint {args.load} "
-              f"(architecture: {kind})")
-        apply_fn = imported_apply_fn(kind, cfg)
-    else:
-        # Infer the net's capacity knobs from the stored param shapes so
-        # non-default --hidden-size/--width-mult checkpoints just work.
-        raw_step, raw_params, _, _ = load_checkpoint(args.load)
-        trunk = raw_params["params"]["ConvTrunk_0"]
-        width_mult = int(trunk["Conv_0"]["kernel"].shape[-1]) // 32
-        hidden_size = int(
-            raw_params["params"]["Dense_0"]["kernel"].shape[-1])
-        net = make_network(cfg, hidden_size=hidden_size,
-                           width_mult=width_mult)
-        apply_fn = make_apply_fn(net)
-        dummy = jnp.zeros((1, 4, cfg.board_size, cfg.board_size))
-        template = net.init(jax.random.PRNGKey(0), dummy)
-        step, params, _, _ = load_checkpoint(args.load, template, None)
-        extra = ("" if width_mult == 1 and hidden_size == 512 else
-                 f", width_mult={width_mult}, hidden={hidden_size}")
-        print(f"loaded {args.load} (step {step}{extra})")
+    params, apply_fn, desc = load_eval_policy(args.load, cfg)
+    print(f"loaded {args.load} ({desc})")
 
-    opp = policy_from_spec(args.opponent, cfg)
+    opp_spec = args.opponent
+    if opp_spec.startswith("ckpt:") or opp_spec.endswith(
+            (".msgpack", ".pth", ".pt")):
+        # Head-to-head: the opponent is another checkpoint (native or
+        # reference torch), sampling like the protagonist.
+        opp_path = opp_spec.removeprefix("ckpt:")
+        opp_params, opp_apply, opp_desc = load_eval_policy(opp_path, cfg)
+        print(f"opponent checkpoint {opp_path} ({opp_desc})")
+        opp = net_tournament_policy(opp_params, opp_apply)
+    else:
+        opp = policy_from_spec(opp_spec, cfg)
     n = args.games // 2
 
     @functools.partial(jax.jit, static_argnames=())

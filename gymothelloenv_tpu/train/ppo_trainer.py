@@ -73,6 +73,34 @@ def make_apply_fn(net: PolicyNet):
     return apply_fn
 
 
+def load_eval_policy(path: str, cfg: EnvConfig):
+    """Load any policy checkpoint for evaluation: a native msgpack
+    (capacity knobs inferred from stored shapes) or a reference torch
+    ``.pth``/``.pt`` (converted via compat.torch_import).
+
+    Returns ``(params, apply_fn, description)``.
+    """
+    if path.endswith((".pth", ".pt")):
+        from gymothelloenv_tpu.compat.torch_import import (
+            detect_and_import, imported_apply_fn, load_torch_checkpoint)
+        kind, params = detect_and_import(load_torch_checkpoint(path))
+        return params, imported_apply_fn(kind, cfg), (
+            f"torch checkpoint (architecture: {kind})")
+
+    from gymothelloenv_tpu.utils.checkpoint import load_checkpoint
+    _, raw_params, _, _ = load_checkpoint(path)
+    trunk = raw_params["params"]["ConvTrunk_0"]
+    width_mult = int(trunk["Conv_0"]["kernel"].shape[-1]) // 32
+    hidden_size = int(raw_params["params"]["Dense_0"]["kernel"].shape[-1])
+    net = make_network(cfg, hidden_size=hidden_size, width_mult=width_mult)
+    dummy = jnp.zeros((1, 4, cfg.board_size, cfg.board_size))
+    template = net.init(jax.random.PRNGKey(0), dummy)
+    step, params, _, _ = load_checkpoint(path, template, None)
+    extra = ("" if width_mult == 1 and hidden_size == 512 else
+             f", width_mult={width_mult}, hidden={hidden_size}")
+    return params, make_apply_fn(net), f"step {step}{extra}"
+
+
 def net_tournament_policy(params, apply_fn):
     """Wrap the net as a tournament ``act(key, state)`` policy (sampling,
     like ``Policy.act`` served over pipes in rule_base_game,
