@@ -75,6 +75,12 @@ def main(argv=None):
     if args.format == "script":
         path = args.output or os.path.join(args.out_dir, "run_all.sh")
         lines = ["#!/bin/sh", "set -e"]
+        # Freeze the launching environment's import path so the script
+        # works from a fresh shell / nohup (the package is usually run
+        # via PYTHONPATH, not installed).
+        pythonpath = os.environ.get("PYTHONPATH")
+        if pythonpath:
+            lines.append(f"export PYTHONPATH={shlex.quote(pythonpath)}")
         for i, cmd in enumerate(cmds):
             if i:
                 lines.append(f"sleep {SETTLE_SECONDS}  # TPU-tunnel settle")

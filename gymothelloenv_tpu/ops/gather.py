@@ -76,7 +76,12 @@ def make_row_codec(template):
     total = sum(nb for _, _, nb in specs)
 
     def pack(tree):
-        leaves2 = jax.tree.leaves(tree)
+        leaves2, treedef2 = jax.tree.flatten(tree)
+        if treedef2 != treedef:
+            raise ValueError(
+                f"pack() tree structure {treedef2} does not match the "
+                f"codec template {treedef} — packed rows would be "
+                f"silently corrupted")
         b = leaves2[0].shape[0]
         cols = []
         for leaf, (shape_tail, dtype, _) in zip(leaves2, specs):

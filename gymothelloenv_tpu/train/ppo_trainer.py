@@ -87,15 +87,18 @@ def load_eval_policy(path: str, cfg: EnvConfig):
         return params, imported_apply_fn(kind, cfg), (
             f"torch checkpoint (architecture: {kind})")
 
+    from flax import serialization
+
     from gymothelloenv_tpu.utils.checkpoint import load_checkpoint
-    _, raw_params, _, _ = load_checkpoint(path)
+    step, raw_params, _, _ = load_checkpoint(path)
     trunk = raw_params["params"]["ConvTrunk_0"]
     width_mult = int(trunk["Conv_0"]["kernel"].shape[-1]) // 32
     hidden_size = int(raw_params["params"]["Dense_0"]["kernel"].shape[-1])
     net = make_network(cfg, hidden_size=hidden_size, width_mult=width_mult)
     dummy = jnp.zeros((1, 4, cfg.board_size, cfg.board_size))
-    template = net.init(jax.random.PRNGKey(0), dummy)
-    step, params, _, _ = load_checkpoint(path, template, None)
+    template = jax.eval_shape(lambda k: net.init(k, dummy),
+                              jax.random.PRNGKey(0))
+    params = serialization.from_state_dict(template, raw_params)
     extra = ("" if width_mult == 1 and hidden_size == 512 else
              f", width_mult={width_mult}, hidden={hidden_size}")
     return params, make_apply_fn(net), f"step {step}{extra}"
@@ -122,6 +125,10 @@ class PPOSelfPlayTrainer:
         self.ppo_cfg = ppo_cfg or PPOConfig()
         self.run_cfg = run_cfg or SelfPlayConfig()
         self.log_fn = log_fn
+        if self.run_cfg.opponent_pool > 0 and self.run_cfg.pool_interval < 1:
+            raise ValueError(
+                f"pool_interval must be >= 1 when opponent_pool is on "
+                f"(got {self.run_cfg.pool_interval})")
 
         self.net = make_network(self.env_cfg, bf16=self.run_cfg.bf16,
                                 hidden_size=self.run_cfg.hidden_size,
@@ -197,13 +204,21 @@ class PPOSelfPlayTrainer:
     def ensure_initialized(self):
         if self.sp_state is None:
             self.key, k = jax.random.split(self.key)
+            kwargs = {}
+            if self.run_cfg.opponent_pool > 0:
+                # Keep the pool invariant (the non-learning color is a
+                # frozen snapshot) from the very first opponent ply.
+                if not self.pool:
+                    self.pool.append(self._snapshot_params())
+                kwargs["opp_params"] = self.pool[
+                    self._pool_rng.randrange(len(self.pool))]
             self.sp_state = jax.jit(
                 selfplay_init, static_argnames=("apply_fn", "cfg",
                                                 "num_envs",
                                                 "init_rand_steps"))(
                 self.params, apply_fn=self.apply_fn, key=k,
                 cfg=self.env_cfg, num_envs=self.run_cfg.num_envs,
-                init_rand_steps=self.run_cfg.init_rand_steps)
+                init_rand_steps=self.run_cfg.init_rand_steps, **kwargs)
 
     def _snapshot_params(self):
         return jax.tree.map(lambda x: x.copy(), self.params)

@@ -112,3 +112,16 @@ def test_packed_ppo_update_matches_naive_gathers():
     for a, b in zip(jax.tree.leaves(p_fast), jax.tree.leaves(p_naive)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_pack_structure_mismatch_raises():
+    """A pack() call whose tree differs from the codec template must fail
+    loudly, not corrupt rows silently."""
+    from gymothelloenv_tpu.ops.gather import make_row_codec
+    import pytest
+    pack, _, _ = make_row_codec({"a": jnp.zeros((0, 2)),
+                                 "b": jnp.zeros((0,), jnp.int32)})
+    with pytest.raises(ValueError, match="structure"):
+        pack({"a": jnp.zeros((3, 2)), "c": jnp.zeros((3,), jnp.int32)})
+    with pytest.raises(ValueError, match="structure"):
+        pack({"a": jnp.zeros((3, 2))})

@@ -20,12 +20,15 @@ def test_build_commands_seeds_and_logdirs():
         assert cmd[-2:] == ["--num-updates", "7"]
 
 
-def test_script_format(tmp_path):
+def test_script_format(tmp_path, monkeypatch):
+    monkeypatch.setenv("PYTHONPATH", "/root/repo")
     out = tmp_path / "sweep"
     main(["--trainer", "dqn_train", "--num-seeds", "2",
           "--out-dir", str(out), "--", "--board-size", "6"])
     script = (out / "run_all.sh").read_text()
     assert script.startswith("#!/bin/sh")
+    # The launcher freezes PYTHONPATH so the script survives fresh shells.
+    assert "export PYTHONPATH=/root/repo" in script
     assert script.count("gymothelloenv_tpu.cli.dqn_train") == 2
     assert f"sleep {SETTLE_SECONDS}" in script
     assert "--board-size 6" in script
