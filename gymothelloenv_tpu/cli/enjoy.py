@@ -20,9 +20,7 @@ from gymothelloenv_tpu.compat import (GreedyPolicy, HumanPolicy,
                                       SimpleOthelloEnv)
 from gymothelloenv_tpu.compat.featurize import make_state4
 from gymothelloenv_tpu.models.distributions import MaskedCategorical
-from gymothelloenv_tpu.train.ppo_trainer import make_apply_fn, make_network
 from gymothelloenv_tpu.core.state import EnvConfig
-from gymothelloenv_tpu.utils.checkpoint import load_checkpoint
 
 
 def main(argv=None):
@@ -42,11 +40,9 @@ def main(argv=None):
     args, _ = parser.parse_known_args(argv)
 
     cfg = EnvConfig(board_size=args.board_size)
-    net = make_network(cfg)
-    apply_fn = make_apply_fn(net)
-    params = net.init(jax.random.PRNGKey(0),
-                      jnp.zeros((1, 4, cfg.board_size, cfg.board_size)))
-    _, params, _, _ = load_checkpoint(args.load, params)
+    from gymothelloenv_tpu.train.ppo_trainer import load_eval_policy
+    params, apply_fn, desc = load_eval_policy(args.load, cfg)
+    print(f"loaded {args.load} ({desc})")
     forward = jax.jit(lambda p, x: apply_fn(p, x)[0])
 
     if args.opponent == "rand":

@@ -75,23 +75,12 @@ go(0);
 
 
 def _net_policy(path: str, cfg: EnvConfig):
-    """Policy from a checkpoint: .msgpack (this framework) or a reference
-    torch .pth/.pt (architecture auto-detected)."""
-    from gymothelloenv_tpu.train.ppo_trainer import (make_apply_fn,
-                                                     make_network,
+    """Policy from a checkpoint: .msgpack (this framework; capacity knobs
+    inferred from stored shapes) or a reference torch .pth/.pt
+    (architecture auto-detected)."""
+    from gymothelloenv_tpu.train.ppo_trainer import (load_eval_policy,
                                                      net_tournament_policy)
-    if path.endswith((".pth", ".pt")):
-        from gymothelloenv_tpu.compat.torch_import import (
-            detect_and_import, imported_apply_fn, load_torch_checkpoint)
-        kind, params = detect_and_import(load_torch_checkpoint(path))
-        apply_fn = imported_apply_fn(kind, cfg)
-    else:
-        net = make_network(cfg)
-        apply_fn = make_apply_fn(net)
-        from gymothelloenv_tpu.utils.checkpoint import load_checkpoint
-        dummy = jnp.zeros((1, 4, cfg.board_size, cfg.board_size))
-        template = net.init(jax.random.PRNGKey(0), dummy)
-        _, params, _, _ = load_checkpoint(path, template, None)
+    params, apply_fn, _ = load_eval_policy(path, cfg)
     return net_tournament_policy(params, apply_fn)
 
 
