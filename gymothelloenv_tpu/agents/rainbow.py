@@ -162,18 +162,17 @@ def _project_distribution(next_probs, rewards, not_done,
     tz = jnp.clip(tz, cfg.v_min, cfg.v_max)
     dz = (cfg.v_max - cfg.v_min) / (cfg.num_atoms - 1)
     b = (tz - cfg.v_min) / dz                         # (N, atoms)
-    lo = jnp.clip(jnp.floor(b), 0, cfg.num_atoms - 1)
-    hi = jnp.clip(jnp.ceil(b), 0, cfg.num_atoms - 1)
-    # When lo == hi the mass goes entirely to that atom.
-    w_lo = jnp.where(hi == lo, 1.0, hi - b)
-    w_hi = jnp.where(hi == lo, 0.0, b - lo)
-    proj = jnp.zeros_like(next_probs)
-    batch_idx = jnp.arange(b.shape[0])[:, None].repeat(cfg.num_atoms, 1)
-    proj = proj.at[batch_idx, lo.astype(jnp.int32)].add(
-        next_probs * w_lo)
-    proj = proj.at[batch_idx, hi.astype(jnp.int32)].add(
-        next_probs * w_hi)
-    return proj
+    # Linear-interpolation kernel instead of floor/ceil scatter-adds:
+    # source atom j at position b contributes max(0, 1 - |b - k|) to
+    # target atom k — identical mass split (floor gets hi-b, ceil gets
+    # b-lo, integer b gets everything), but it lowers as one fused
+    # einsum over (N, atoms, atoms) instead of two (N*atoms)-element
+    # scatters, which cost ~2.9 ms/update on TPU
+    # (scripts/trace_rainbow_chunk.py fusion.6/7).
+    k = jnp.arange(cfg.num_atoms, dtype=jnp.float32)
+    w = jnp.clip(1.0 - jnp.abs(b[:, :, None] - k[None, None, :]),
+                 0.0, 1.0)                            # (N, src, tgt)
+    return jnp.einsum("ns,nst->nt", next_probs, w)
 
 
 def rainbow_train_batch(state: DQNState, replay: Replay,

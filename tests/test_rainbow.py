@@ -128,3 +128,91 @@ def test_rainbow_act_legal():
                     jnp.full((4,), -1, jnp.int8), legal,
                     jax.random.PRNGKey(1), cfg)
     assert np.all(np.asarray(a) == 19)
+
+
+def test_per_block_sampler_matches_flat_searchsorted():
+    """The two-level PER sampler must reproduce the flat
+    cumsum+searchsorted indices exactly on float-exact (integer-valued)
+    priorities, across capacities that do and don't divide the block."""
+    import numpy as np
+
+    from gymothelloenv_tpu.agents.replay import replay_sample_idx
+
+    for C, size_frac in ((4096, 1.0), (5000, 0.37), (512, 0.2)):
+        cfg = ReplayConfig(capacity=C, prioritized=True)
+        rb = replay_init(cfg)
+        size = max(1, int(C * size_frac))
+        prio = jax.random.randint(jax.random.PRNGKey(C), (C + 1,),
+                                  1, 100).astype(jnp.float32)
+        rb = rb.replace(priority=prio, size=jnp.int32(size))
+        idx = replay_sample_idx(rb, cfg, jax.random.PRNGKey(7), 1024)
+
+        p = np.where(np.arange(C) < size, np.asarray(prio[:C]), 0.0)
+        cum = np.cumsum(p)
+        u = np.asarray(jax.random.uniform(jax.random.PRNGKey(7), (1024,)))
+        targets = (np.arange(1024) + u) * (cum[-1] / 1024)
+        ref = np.clip(np.searchsorted(cum, targets, side="left"),
+                      0, size - 1)
+        np.testing.assert_array_equal(np.asarray(idx), ref,
+                                      err_msg=f"C={C}")
+
+
+def test_per_block_sampler_proportional():
+    """Empirical sampling frequency tracks priorities (9:1 split)."""
+    import numpy as np
+
+    from gymothelloenv_tpu.agents.replay import replay_sample_idx
+
+    cfg = ReplayConfig(capacity=2048, prioritized=True)
+    rb = replay_init(cfg)
+    pr = jnp.concatenate([jnp.full((1024,), 1.0), jnp.full((1024,), 9.0),
+                          jnp.zeros((1,))])
+    rb = rb.replace(priority=pr, size=jnp.int32(2048))
+    counts = np.zeros(2048)
+    for i in range(10):
+        idx = np.asarray(replay_sample_idx(rb, cfg,
+                                           jax.random.PRNGKey(i), 4096))
+        np.add.at(counts, idx, 1)
+    frac_hi = counts[1024:].sum() / counts.sum()
+    assert abs(frac_hi - 0.9) < 0.02
+
+
+def test_projection_matches_scatter_reference():
+    """The kernel-interpolation projection equals the classic floor/ceil
+    scatter-add formulation (including integer-b and clipped edges)."""
+    import numpy as np
+
+    from gymothelloenv_tpu.agents.rainbow import (RainbowConfig,
+                                                  _project_distribution)
+
+    cfg = RainbowConfig()
+    key = jax.random.PRNGKey(0)
+    N = 256
+    probs = jax.nn.softmax(jax.random.normal(key, (N, cfg.num_atoms)), -1)
+    rewards = jnp.concatenate([
+        jax.random.uniform(jax.random.PRNGKey(1), (N - 4,),
+                           minval=-2.0, maxval=2.0),
+        jnp.asarray([0.0, cfg.v_min, cfg.v_max, 1.0])])  # exact-atom hits
+    not_done = jax.random.bernoulli(
+        jax.random.PRNGKey(2), 0.7, (N,)).astype(jnp.float32)
+    got = np.asarray(_project_distribution(probs, rewards, not_done, cfg))
+
+    # Scatter reference (the previous implementation).
+    z = np.asarray(cfg.support)
+    tz = np.clip(np.asarray(rewards)[:, None]
+                 + np.asarray(not_done)[:, None] * cfg.gamma_n * z[None],
+                 cfg.v_min, cfg.v_max)
+    dz = (cfg.v_max - cfg.v_min) / (cfg.num_atoms - 1)
+    b = (tz - cfg.v_min) / dz
+    lo = np.clip(np.floor(b), 0, cfg.num_atoms - 1).astype(int)
+    hi = np.clip(np.ceil(b), 0, cfg.num_atoms - 1).astype(int)
+    w_lo = np.where(hi == lo, 1.0, hi - b)
+    w_hi = np.where(hi == lo, 0.0, b - lo)
+    ref = np.zeros_like(got)
+    p = np.asarray(probs)
+    for i in range(N):
+        for j in range(cfg.num_atoms):
+            ref[i, lo[i, j]] += p[i, j] * w_lo[i, j]
+            ref[i, hi[i, j]] += p[i, j] * w_hi[i, j]
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    np.testing.assert_allclose(got.sum(-1), 1.0, rtol=1e-5)
