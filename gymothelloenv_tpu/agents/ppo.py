@@ -20,6 +20,7 @@ from flax import struct
 
 from gymothelloenv_tpu.models.distributions import MaskedCategorical
 from gymothelloenv_tpu.ops.gather import pack_rows
+from gymothelloenv_tpu.ops.shuffle import is_power_of_two, minibatch_indices
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,6 +50,13 @@ class PPOConfig:
     # — XLA's scan-carry handling doesn't care about leaf count here.
     # Changes the opt_state checkpoint structure; kept off.
     flatten_optimizer: bool = False
+    # Epoch shuffle mechanism: "hash" evaluates a keyed bijection pointwise
+    # per minibatch (no sort, no materialized (T*N,) permutation — saves
+    # the 2.2 ms of sorts per update measured at batch 256K,
+    # ops/shuffle.py); falls back to the sort-based uniform permutation
+    # when T*N is not a power of two.  "sort" forces the uniform
+    # permutation everywhere.
+    shuffle: str = "hash"
 
 
 @struct.dataclass
@@ -236,14 +244,21 @@ def ppo_update(params, opt_state, rollout: Transition,
     zero_reward = jnp.zeros((mb_size,), rollout.reward.dtype)
     zero_done = jnp.zeros((mb_size,), rollout.done.dtype)
 
+    use_hash = cfg.shuffle == "hash" and is_power_of_two(batch_size)
+
     def epoch(carry, epoch_key):
         params, opt_state = carry
-        perm = jax.random.permutation(epoch_key, batch_size)
+        perm = (None if use_hash
+                else jax.random.permutation(epoch_key, batch_size))
 
         def minibatch(carry, mb_idx):
             params, opt_state = carry
-            idx = jax.lax.dynamic_slice_in_dim(perm, mb_idx * mb_size,
-                                               mb_size)
+            if use_hash:
+                idx = minibatch_indices(epoch_key, batch_size, mb_idx,
+                                        mb_size)
+            else:
+                idx = jax.lax.dynamic_slice_in_dim(perm, mb_idx * mb_size,
+                                                   mb_size)
             d = unpack(packed[idx])
             mb = Transition(obs=d["obs"], action=d["action"],
                             logp=d["logp"], value=d["value"],
