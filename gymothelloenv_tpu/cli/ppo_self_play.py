@@ -40,7 +40,9 @@ def main(argv=None):
     parser.add_argument("--test-interval", type=int, default=100)
     parser.add_argument("--save-interval", type=int, default=500)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--checkpoint", type=str, default="")
+    parser.add_argument("--checkpoint", type=str, default="",
+                        help="save path; a {step} placeholder keeps one "
+                             "file per save-interval snapshot")
     parser.add_argument("--load", type=str, default="")
     parser.add_argument("--log-dir", type=str, default="")
     parser.add_argument("--log-every", type=int, default=10)

@@ -245,6 +245,10 @@ class PPOSelfPlayTrainer:
 
     def train(self, num_updates: int, log_every: int = 10,
               checkpoint_path: str = None):
+        """``checkpoint_path`` may contain a ``{step}`` placeholder — each
+        interval save then lands in its own file (snapshot history for
+        post-hoc early stopping, which RESULTS.md shows is the recipe)
+        instead of overwriting one path."""
         self.ensure_initialized()
         t0 = time.time()
         steps_done = 0
@@ -269,9 +273,9 @@ class PPOSelfPlayTrainer:
 
             if checkpoint_path and (
                     self.update_count % self.run_cfg.save_interval == 0):
-                self.save(checkpoint_path)
+                self.save(checkpoint_path.format(step=self.update_count))
         if checkpoint_path:
-            self.save(checkpoint_path)
+            self.save(checkpoint_path.format(step=self.update_count))
 
     def evaluate(self):
         self.key, k = jax.random.split(self.key)

@@ -157,6 +157,27 @@ def test_trainer_smoke_and_checkpoint(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_step_placeholder(tmp_path):
+    """A ``{step}`` placeholder in the checkpoint path keeps one file per
+    interval save instead of overwriting (post-hoc early stopping)."""
+    tr = PPOSelfPlayTrainer(
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        ppo_cfg=PPOConfig(num_updates=4),
+        run_cfg=SelfPlayConfig(num_envs=8, num_steps=8, save_interval=2,
+                               test_interval=1000),
+        log_fn=lambda step, m: None)
+    tr.train(num_updates=4, log_every=100,
+             checkpoint_path=str(tmp_path / "ck_{step}.msgpack"))
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["ck_2.msgpack", "ck_4.msgpack"]
+    tr2 = PPOSelfPlayTrainer(
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        ppo_cfg=PPOConfig(num_updates=4),
+        run_cfg=SelfPlayConfig(num_envs=8, num_steps=8))
+    tr2.load(str(tmp_path / "ck_2.msgpack"))
+    assert tr2.update_count == 2
+
+
 def _make_recurrent_setup(key, T=6, N=8, A=10, D=12, H=16):
     """Tiny recurrent actor-critic + a synthetic rollout whose behaviour
     logp/value were produced by the SAME GRU replay the update performs."""
