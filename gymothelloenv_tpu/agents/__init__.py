@@ -17,6 +17,7 @@ from gymothelloenv_tpu.agents.ppo import (  # noqa: F401
     Transition,
     compute_gae,
     compute_gae_masked,
+    compute_gae_time_limits,
     make_optimizer,
     ppo_loss,
     ppo_update,

@@ -114,6 +114,36 @@ def compute_gae(rollout: Transition, bootstrap_value: jnp.ndarray,
     return adv, adv + rollout.value
 
 
+def compute_gae_time_limits(rollout: Transition, bad_transition: jnp.ndarray,
+                            bootstrap_value: jnp.ndarray, cfg: PPOConfig):
+    """GAE with proper time limits (storage.py:79-96,
+    ``use_proper_time_limits=True``): the advantage of a transition that
+    was cut by a step cap — not by the task — is zeroed, and nothing
+    bootstraps backwards through it (``gae = gae * bad_masks[step+1]``).
+
+    ``bad_transition`` is (T, N) bool from ``envs.vec_wrappers.
+    time_limit_step`` (the TimeLimitMask ``info['bad_transition']`` flag,
+    a2c_ppo_acktr/envs.py:110-119); reference ``bad_masks[t+1]`` is its
+    complement.  With ``bad_transition ≡ False`` this equals
+    ``compute_gae`` exactly.
+    """
+    next_values = jnp.concatenate(
+        [rollout.value[1:], bootstrap_value[None]], axis=0)
+    next_mask = 1.0 - rollout.done.astype(jnp.float32)
+    bad_mask = 1.0 - bad_transition.astype(jnp.float32)
+    deltas = (rollout.reward + cfg.gamma * next_values * next_mask
+              - rollout.value)
+
+    def body(gae, inp):
+        delta, mask, bad = inp
+        gae = (delta + cfg.gamma * cfg.gae_lambda * mask * gae) * bad
+        return gae, gae
+
+    _, adv = jax.lax.scan(body, jnp.zeros_like(bootstrap_value),
+                          (deltas, next_mask, bad_mask), reverse=True)
+    return adv, adv + rollout.value
+
+
 def compute_gae_masked(rollout: Transition, weights: jnp.ndarray,
                        bootstrap_value: jnp.ndarray, cfg: PPOConfig):
     """GAE over streams with invalid (weight-0) slots.

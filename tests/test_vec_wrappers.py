@@ -1,0 +1,210 @@
+"""Vec-env wrapper stack: running normalization, frame stack, time limits
+(envs/vec_wrappers.py) and proper-time-limit GAE (agents/ppo.py) — verified
+against straight numpy re-implementations of the reference semantics
+(a2c_ppo_acktr/envs.py:110-250 + baselines RunningMeanStd/VecNormalize,
+storage.py:79-96)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gymothelloenv_tpu.agents.ppo import (PPOConfig, Transition, compute_gae,
+                                          compute_gae_time_limits)
+from gymothelloenv_tpu.envs import (frame_stack_init, frame_stack_step,
+                                    rms_init, rms_normalize, rms_update,
+                                    rms_update_masked, time_limit_init,
+                                    time_limit_step, vecnorm_init,
+                                    vecnorm_obs, vecnorm_reward)
+
+
+# ---------------------------------------------------------------------------
+# RunningMeanStd
+# ---------------------------------------------------------------------------
+
+def test_rms_matches_full_batch_moments():
+    rng = np.random.default_rng(0)
+    data = rng.normal(3.0, 2.0, size=(10, 16, 5)).astype(np.float32)
+    rms = rms_init((5,))
+    for batch in data:
+        rms = rms_update(rms, jnp.asarray(batch))
+    flat = data.reshape(-1, 5)
+    np.testing.assert_allclose(np.asarray(rms.mean), flat.mean(0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rms.var), flat.var(0),
+                               rtol=1e-3, atol=1e-3)
+    assert float(rms.count) == pytest.approx(160, abs=1e-2)
+
+
+def test_rms_masked_ignores_padded_rows():
+    rng = np.random.default_rng(1)
+    real = rng.normal(size=(6, 3)).astype(np.float32)
+    padded = np.concatenate([real, 99.0 * np.ones((4, 3), np.float32)])
+    w = np.array([1.0] * 6 + [0.0] * 4, np.float32)
+    a = rms_update(rms_init((3,)), jnp.asarray(real))
+    b = rms_update_masked(rms_init((3,)), jnp.asarray(padded), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(a.mean), np.asarray(b.mean),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.var), np.asarray(b.var),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rms_normalize_clips():
+    rms = rms_init(())
+    rms = rms_update(rms, jnp.asarray([0.0, 0.1, -0.1], jnp.float32))
+    out = rms_normalize(rms, jnp.asarray([1e6, -1e6, 0.0]), clip=10.0)
+    np.testing.assert_allclose(np.asarray(out)[:2], [10.0, -10.0])
+
+
+# ---------------------------------------------------------------------------
+# VecNormalize semantics
+# ---------------------------------------------------------------------------
+
+def test_vecnorm_obs_eval_freezes_stats():
+    state = vecnorm_init((4,), num_envs=8)
+    obs = jnp.asarray(np.random.default_rng(2).normal(size=(8, 4)),
+                      jnp.float32)
+    state, _ = vecnorm_obs(state, obs, training=True)
+    frozen_mean = np.asarray(state.ob_rms.mean).copy()
+    state2, norm = vecnorm_obs(state, obs * 100, training=False)
+    np.testing.assert_array_equal(np.asarray(state2.ob_rms.mean), frozen_mean)
+    # Normalization still applied with the frozen stats.
+    expected = np.clip((np.asarray(obs) * 100 - frozen_mean)
+                       / np.sqrt(np.asarray(state.ob_rms.var) + 1e-8),
+                       -10, 10)
+    np.testing.assert_allclose(np.asarray(norm), expected, rtol=1e-5)
+
+
+def test_vecnorm_reward_matches_numpy_reference():
+    """Replays baselines VecNormalize's reward path step by step."""
+    rng = np.random.default_rng(3)
+    n, steps, gamma = 4, 20, 0.95
+    state = vecnorm_init((1,), num_envs=n, gamma=gamma)
+
+    # numpy mirror of RunningMeanStd + ret tracking
+    mean, var, count = 0.0, 1.0, 1e-4
+    ret = np.zeros(n)
+    for _ in range(steps):
+        r = rng.normal(size=n).astype(np.float32)
+        d = rng.random(n) < 0.2
+        state, norm = vecnorm_reward(state, jnp.asarray(r),
+                                     jnp.asarray(d), training=True)
+        ret = ret * gamma + r
+        bm, bv, bc = ret.mean(), ret.var(), n
+        delta, tot = bm - mean, count + bc
+        mean += delta * bc / tot
+        var = (var * count + bv * bc + delta**2 * count * bc / tot) / tot
+        count = tot
+        expected = np.clip(r / np.sqrt(var + 1e-8), -10, 10)
+        np.testing.assert_allclose(np.asarray(norm), expected,
+                                   rtol=1e-4, atol=1e-5)
+        ret[d] = 0.0
+    np.testing.assert_allclose(np.asarray(state.ret), ret,
+                               rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Frame stack
+# ---------------------------------------------------------------------------
+
+def test_frame_stack_ring_and_done_zeroing():
+    def frame(v):
+        return jnp.full((2, 1, 2, 2), v, jnp.float32)  # (N=2, C=1, 2, 2)
+
+    st = frame_stack_init(frame(1.0), nstack=3)
+    assert st.stacked.shape == (2, 3, 2, 2)
+    np.testing.assert_array_equal(
+        np.asarray(st.stacked[:, :, 0, 0]), [[0, 0, 1], [0, 0, 1]])
+
+    st = frame_stack_step(st, frame(2.0), jnp.asarray([False, False]))
+    st = frame_stack_step(st, frame(3.0), jnp.asarray([False, True]))
+    # env 0: full history 1,2,3; env 1: zeroed on done, only newest frame
+    np.testing.assert_array_equal(
+        np.asarray(st.stacked[:, :, 0, 0]), [[1, 2, 3], [0, 0, 3]])
+
+
+def test_frame_stack_jits_inside_scan():
+    def body(st, v):
+        st = frame_stack_step(st, jnp.full((1, 2, 1, 1), v),
+                              jnp.asarray([False]))
+        return st, st.stacked.sum()
+
+    st0 = frame_stack_init(jnp.zeros((1, 2, 1, 1)), nstack=2)
+    _, sums = jax.jit(lambda s: jax.lax.scan(body, s,
+                                             jnp.arange(4.0)))(st0)
+    assert sums.shape == (4,)
+
+
+# ---------------------------------------------------------------------------
+# Time limits + proper-time-limit GAE
+# ---------------------------------------------------------------------------
+
+def test_time_limit_truncation_and_bad_flag():
+    st = time_limit_init(num_envs=3, max_steps=3)
+    dones, bads = [], []
+    env_done = [jnp.asarray([False, True, False]),
+                jnp.asarray([False, False, False]),
+                jnp.asarray([False, False, True])]
+    for d in env_done:
+        st, done, bad = time_limit_step(st, d)
+        dones.append(np.asarray(done))
+        bads.append(np.asarray(bad))
+    # env0: never task-done -> truncated at step 3 (bad)
+    # env1: task-done at step 1, counter resets, alive after
+    # env2: task-done exactly at the cap -> done AND bad (the reference's
+    #       `_max_episode_steps == _elapsed_steps` check fires too)
+    np.testing.assert_array_equal(np.stack(dones),
+                                  [[0, 1, 0], [0, 0, 0], [1, 0, 1]])
+    np.testing.assert_array_equal(np.stack(bads),
+                                  [[0, 0, 0], [0, 0, 0], [1, 0, 1]])
+
+
+def _random_rollout(rng, t, n):
+    z = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)  # noqa: E731
+    return Transition(
+        obs=jnp.zeros((t, n, 1)), action=jnp.zeros((t, n), jnp.int32),
+        logp=z(t, n), value=z(t, n), reward=z(t, n),
+        done=jnp.asarray(rng.random((t, n)) < 0.25),
+        legal=jnp.ones((t, n, 4), bool))
+
+
+def test_gae_time_limits_matches_storage_loop():
+    """Bitwise replay of storage.py:79-96 in a python loop."""
+    rng = np.random.default_rng(4)
+    t, n = 12, 5
+    roll = _random_rollout(rng, t, n)
+    bad = jnp.asarray(rng.random((t, n)) < 0.3) & roll.done
+    boot = jnp.asarray(rng.normal(size=n), jnp.float32)
+    cfg = PPOConfig()
+
+    adv, ret = compute_gae_time_limits(roll, bad, boot, cfg)
+
+    rewards = np.asarray(roll.reward)
+    values = np.vstack([np.asarray(roll.value), np.asarray(boot)[None]])
+    masks = 1.0 - np.asarray(roll.done, np.float32)      # masks[t+1]
+    bad_masks = 1.0 - np.asarray(bad, np.float32)        # bad_masks[t+1]
+    returns = np.zeros((t, n))
+    gae = np.zeros(n)
+    for step in reversed(range(t)):
+        delta = (rewards[step] + cfg.gamma * values[step + 1] * masks[step]
+                 - values[step])
+        gae = delta + cfg.gamma * cfg.gae_lambda * masks[step] * gae
+        gae = gae * bad_masks[step]
+        returns[step] = gae + values[step]
+    np.testing.assert_allclose(np.asarray(ret), returns, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(adv),
+                               returns - np.asarray(roll.value),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gae_time_limits_reduces_to_plain_gae():
+    rng = np.random.default_rng(5)
+    roll = _random_rollout(rng, 10, 4)
+    boot = jnp.asarray(rng.normal(size=4), jnp.float32)
+    cfg = PPOConfig()
+    a1, r1 = compute_gae(roll, boot, cfg)
+    a2, r2 = compute_gae_time_limits(
+        roll, jnp.zeros_like(roll.done), boot, cfg)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-6)
