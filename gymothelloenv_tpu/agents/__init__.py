@@ -34,6 +34,12 @@ from gymothelloenv_tpu.agents.simple_ppo import (  # noqa: F401
 from gymothelloenv_tpu.agents.kfac import (  # noqa: F401
     ACKTRAgent,
     ACKTRConfig,
+    ConvSpec,
+    DenseSpec,
+    acktr_conv_init,
     acktr_init,
     acktr_update,
+    conv_trunk_specs,
+    stack_apply,
+    stack_init,
 )

@@ -1,9 +1,13 @@
 """K-FAC natural-gradient optimizer + ACKTR update — rebuild of the
 vendored ``algo/kfac.py`` (:87-241) and the ``A2C_ACKTR(acktr=True)`` path.
 
-Scope: explicit stacks of Dense layers (the vendored ACKTR's real use is
-the MuJoCo/Atari MLP policies; its Othello path is dead code —
-SURVEY.md §2.2).  The torch version hooks module forward/backward passes to
+Scope: explicit stacks of Dense AND Conv2d layers — the two module types
+the vendored KFAC supports (kfac.py:16-35 ``_extract_patches`` +
+``Conv2d`` branches).  Conv layers use the KFC patch-row construction, so
+both the MuJoCo/Atari MLP policies (the vendored ACKTR's real use) and a
+CNNBase-shaped conv actor-critic (the Othello path that is dead code in
+the reference, SURVEY.md §2.2) train here.  The torch version hooks module
+forward/backward passes to
 collect the Kronecker factors; in JAX we use an explicit functional MLP
 whose forward exposes layer inputs, and obtain pre-activation gradients via
 the zero-perturbation trick (grad w.r.t. an additive zero gives dL/dz).
@@ -65,6 +69,136 @@ def mlp_stack_apply(params, x, perturb=None):
 
 def zero_perturb(params, batch: int):
     return [jnp.zeros((batch, layer["w"].shape[1])) for layer in params]
+
+
+# ---------------------------------------------------------------------------
+# Spec-based stacks: Dense + Conv layers with KFAC-visible internals.
+#
+# Conv layers use the KFC construction (Grosse & Martens; what the vendored
+# kfac.py's ``ComputeCovA/ComputeCovG`` Conv2d branches implement via
+# ``_extract_patches``, kfac.py:16-35): the layer's Kronecker "input" is the
+# im2col patch matrix (B*S, kh*kw*cin) and its "output gradient" the
+# pre-activation gradient rows (B*S, cout), so every conv is exactly a Dense
+# layer over patch rows and the factor/eigendecomp/preconditioning code
+# above applies unchanged.  Weights are stored 2-D ``(kh*kw*cin, cout)``.
+# ---------------------------------------------------------------------------
+
+_ACTS = {"tanh": jnp.tanh, "relu": jax.nn.relu, "none": lambda x: x}
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseSpec:
+    n_in: int
+    n_out: int
+    act: str = "tanh"
+    gain: float = 1.4142135623730951  # sqrt(2)
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvSpec:
+    """NCHW conv; spatial dims are static so patch shapes stay fixed."""
+    h: int
+    w: int
+    c_in: int
+    c_out: int
+    kernel: int
+    stride: int = 1
+    pad: int = 0
+    act: str = "relu"
+    gain: float = 1.4142135623730951
+
+    @property
+    def h_out(self) -> int:
+        return (self.h + 2 * self.pad - self.kernel) // self.stride + 1
+
+    @property
+    def w_out(self) -> int:
+        return (self.w + 2 * self.pad - self.kernel) // self.stride + 1
+
+
+def stack_init(key, specs):
+    """{'w', 'b'} per layer; conv weights 2-D (kh*kw*cin, cout)."""
+    params = []
+    for spec in specs:
+        key, k = jax.random.split(key)
+        if isinstance(spec, ConvSpec):
+            shape = (spec.kernel * spec.kernel * spec.c_in, spec.c_out)
+        else:
+            shape = (spec.n_in, spec.n_out)
+        w = jax.nn.initializers.orthogonal(spec.gain)(k, shape)
+        params.append({"w": w, "b": jnp.zeros((shape[1],))})
+    return params
+
+
+def _patch_rows(spec: ConvSpec, x: jnp.ndarray) -> jnp.ndarray:
+    """im2col: (B, C, H, W) -> (B*h_out*w_out, k*k*C) patch rows."""
+    patches = jax.lax.conv_general_dilated_patches(
+        x, filter_shape=(spec.kernel, spec.kernel),
+        window_strides=(spec.stride, spec.stride),
+        padding=[(spec.pad, spec.pad)] * 2,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    # (B, C*k*k, h', w') -> rows (B*h'*w', C*k*k)
+    return patches.transpose(0, 2, 3, 1).reshape(-1, patches.shape[1])
+
+
+def stack_apply(params, specs, x, perturb=None):
+    """Generalized ``mlp_stack_apply``: runs the spec'd stack and returns
+    (out, layer_inputs) where ``layer_inputs[i]`` is the 2-D KFAC input-row
+    matrix of layer i (dense: activations; conv: im2col patch rows).
+    ``perturb`` entries are zero arrays shaped like the 2-D pre-activation
+    rows — grad w.r.t. them yields the per-row dL/dz the Fisher factors
+    need.  A Dense after a Conv auto-flattens (B, c*h'*w')."""
+    inputs = []
+    h = x
+    for i, (spec, layer) in enumerate(zip(specs, params)):
+        if isinstance(spec, ConvSpec):
+            rows = _patch_rows(spec, h)
+        else:
+            if h.ndim > 2:
+                h = h.reshape(h.shape[0], -1)
+            rows = h
+        inputs.append(rows)
+        z = rows @ layer["w"] + layer["b"]
+        if perturb is not None:
+            z = z + perturb[i]
+        z = _ACTS[spec.act](z)
+        if isinstance(spec, ConvSpec):
+            b = h.shape[0]
+            z = z.reshape(b, spec.h_out, spec.w_out,
+                          spec.c_out).transpose(0, 3, 1, 2)
+        h = z
+    return h, inputs
+
+
+def stack_zero_perturb(params, specs, batch: int):
+    out = []
+    for spec, layer in zip(specs, params):
+        rows = (batch * spec.h_out * spec.w_out
+                if isinstance(spec, ConvSpec) else batch)
+        out.append(jnp.zeros((rows, layer["w"].shape[1])))
+    return out
+
+
+def mlp_specs(sizes: Sequence[int]):
+    """Specs matching ``mlp_stack_init``/``mlp_stack_apply`` exactly
+    (tanh hidden, linear last, sqrt(2)/0.01 gains)."""
+    specs = []
+    for i, (n_in, n_out) in enumerate(zip(sizes[:-1], sizes[1:])):
+        last = i == len(sizes) - 2
+        specs.append(DenseSpec(n_in, n_out, act="none" if last else "tanh",
+                               gain=0.01 if last else 1.4142135623730951))
+    return tuple(specs)
+
+
+def conv_trunk_specs(board_size: int, in_planes: int = 4):
+    """The vendored CNNBase trunk (model.py:295-300): conv(32,k3,s2,p1) →
+    conv(64,k2) → conv(64,k2) → fc 512, all ReLU."""
+    c1 = ConvSpec(board_size, board_size, in_planes, 32, kernel=3,
+                  stride=2, pad=1)
+    c2 = ConvSpec(c1.h_out, c1.w_out, 32, 64, kernel=2)
+    c3 = ConvSpec(c2.h_out, c2.w_out, 64, 64, kernel=2)
+    flat = 64 * c3.h_out * c3.w_out
+    return (c1, c2, c3, DenseSpec(flat, 512, act="relu"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -188,6 +322,10 @@ class ACKTRAgent:
     critic: list
     kfac_actor: KFACState
     kfac_critic: KFACState
+    # Static layer specs (None → plain Dense/tanh semantics of the original
+    # MLP path, reconstructed in acktr_update for old callers).
+    actor_specs: tuple = struct.field(pytree_node=False, default=None)
+    critic_specs: tuple = struct.field(pytree_node=False, default=None)
 
 
 def acktr_init(key, obs_dim: int, num_actions: int,
@@ -197,7 +335,28 @@ def acktr_init(key, obs_dim: int, num_actions: int,
     critic = mlp_stack_init(k2, [obs_dim, hidden, hidden, 1])
     return ACKTRAgent(actor=actor, critic=critic,
                       kfac_actor=kfac_init(actor),
-                      kfac_critic=kfac_init(critic))
+                      kfac_critic=kfac_init(critic),
+                      actor_specs=mlp_specs([obs_dim, hidden, hidden,
+                                             num_actions]),
+                      critic_specs=mlp_specs([obs_dim, hidden, hidden, 1]))
+
+
+def acktr_conv_init(key, board_size: int, num_actions: int,
+                    in_planes: int = 4) -> ACKTRAgent:
+    """Conv actor-critic (two CNNBase-shaped towers, model.py:295-304)
+    with KFC conv factors — the configuration the vendored ACKTR could
+    never reach on Othello (its masked-model signature mismatch,
+    a2c_acktr.py:38-43)."""
+    trunk = conv_trunk_specs(board_size, in_planes)
+    a_specs = trunk + (DenseSpec(512, num_actions, act="none", gain=0.01),)
+    c_specs = trunk + (DenseSpec(512, 1, act="none", gain=1.0),)
+    k1, k2 = jax.random.split(key)
+    actor = stack_init(k1, a_specs)
+    critic = stack_init(k2, c_specs)
+    return ACKTRAgent(actor=actor, critic=critic,
+                      kfac_actor=kfac_init(actor),
+                      kfac_critic=kfac_init(critic),
+                      actor_specs=a_specs, critic_specs=c_specs)
 
 
 def acktr_update(agent: ACKTRAgent, rollout: Transition,
@@ -205,20 +364,27 @@ def acktr_update(agent: ACKTRAgent, rollout: Transition,
     """One ACKTR update (a2c_acktr.py:34-76 with acktr=True):
     1. Fisher sample: actions ~ pi, values + noise; accumulate factors.
     2. A2C loss gradients, KFAC-preconditioned step for both towers.
-    ``rollout.obs`` must be flat (K, obs_dim); ``returns`` (K,).
+    ``rollout.obs``: flat (K, obs_dim) for MLP agents, (K, C, B, B) planes
+    for conv agents (``acktr_conv_init``); ``returns`` (K,).
     Returns (agent, metrics)."""
     obs = rollout.obs.astype(jnp.float32)
     K = obs.shape[0]
+    a_specs = agent.actor_specs or mlp_specs(
+        [layer["w"].shape[0] for layer in agent.actor]
+        + [agent.actor[-1]["w"].shape[1]])
+    c_specs = agent.critic_specs or mlp_specs(
+        [layer["w"].shape[0] for layer in agent.critic]
+        + [agent.critic[-1]["w"].shape[1]])
 
     # --- Fisher statistics (sampled-label losses, a2c_acktr.py:53-68) ---
     def actor_fisher(pert):
-        logits, _ = mlp_stack_apply(agent.actor, obs, pert)
+        logits, _ = stack_apply(agent.actor, a_specs, obs, pert)
         dist = MaskedCategorical(logits=logits, mask=rollout.legal)
         sampled = dist.sample(key)
         return -dist.log_prob(sampled).mean()
 
     def critic_fisher(pert):
-        values, _ = mlp_stack_apply(agent.critic, obs, pert)
+        values, _ = stack_apply(agent.critic, c_specs, obs, pert)
         noise = jax.random.normal(key, values.shape)
         target = jax.lax.stop_gradient(values + noise)
         return -cfg.value_loss_coef * ((values - target) ** 2).mean()
@@ -226,10 +392,12 @@ def acktr_update(agent: ACKTRAgent, rollout: Transition,
     do_stats = agent.kfac_actor.step % cfg.t_stat == 0
     ka = agent.kfac_actor
     kc = agent.kfac_critic
-    _, a_inputs = mlp_stack_apply(agent.actor, obs)
-    _, c_inputs = mlp_stack_apply(agent.critic, obs)
-    g_actor = jax.grad(actor_fisher)(zero_perturb(agent.actor, K))
-    g_critic = jax.grad(critic_fisher)(zero_perturb(agent.critic, K))
+    _, a_inputs = stack_apply(agent.actor, a_specs, obs)
+    _, c_inputs = stack_apply(agent.critic, c_specs, obs)
+    g_actor = jax.grad(actor_fisher)(
+        stack_zero_perturb(agent.actor, a_specs, K))
+    g_critic = jax.grad(critic_fisher)(
+        stack_zero_perturb(agent.critic, c_specs, K))
 
     ka_new = update_fisher_stats(ka, cfg, a_inputs, g_actor)
     kc_new = update_fisher_stats(kc, cfg, c_inputs, g_critic)
@@ -242,8 +410,8 @@ def acktr_update(agent: ACKTRAgent, rollout: Transition,
 
     # --- A2C loss gradients -------------------------------------------
     def loss_fn(actor, critic):
-        logits, _ = mlp_stack_apply(actor, obs)
-        values, _ = mlp_stack_apply(critic, obs)
+        logits, _ = stack_apply(actor, a_specs, obs)
+        values, _ = stack_apply(critic, c_specs, obs)
         values = values[:, 0]
         dist = MaskedCategorical(logits=logits, mask=rollout.legal)
         logp = dist.log_prob(rollout.action)
@@ -261,5 +429,5 @@ def acktr_update(agent: ACKTRAgent, rollout: Transition,
 
     actor, ka = kfac_step(agent.actor, ka, cfg, grads_a)
     critic, kc = kfac_step(agent.critic, kc, cfg, grads_c)
-    return ACKTRAgent(actor=actor, critic=critic, kfac_actor=ka,
-                      kfac_critic=kc), metrics
+    return agent.replace(actor=actor, critic=critic, kfac_actor=ka,
+                         kfac_critic=kc), metrics

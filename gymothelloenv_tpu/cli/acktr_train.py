@@ -31,6 +31,9 @@ def main(argv=None):
     parser.add_argument("--kl-clip", type=float, default=0.001)
     parser.add_argument("--test-interval", type=int, default=500)
     parser.add_argument("--num-test-games", type=int, default=200)
+    parser.add_argument("--net", choices=("mlp", "conv"), default="mlp",
+                        help="actor-critic towers: tanh-MLP (MLPBase) or "
+                             "CNNBase-shaped conv with KFC factors")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log-dir", type=str, default="")
     parser.add_argument("--log-every", type=int, default=50)
@@ -45,7 +48,8 @@ def main(argv=None):
             test_interval=args.test_interval,
             num_test_games=args.num_test_games, seed=args.seed),
         log_fn=(MetricsLogger(args.log_dir).log if args.log_dir
-                else None))
+                else None),
+        net=args.net)
     print(f"devices: {jax.devices()}")
     trainer.train(args.num_updates, log_every=args.log_every)
     print("final eval:", trainer.evaluate())

@@ -15,8 +15,9 @@ import jax
 import jax.numpy as jnp
 
 from gymothelloenv_tpu.agents.a2c import A2CConfig, a2c_returns
-from gymothelloenv_tpu.agents.kfac import (ACKTRConfig, acktr_init,
-                                           acktr_update, mlp_stack_apply)
+from gymothelloenv_tpu.agents.kfac import (ACKTRConfig, acktr_conv_init,
+                                           acktr_init, acktr_update,
+                                           mlp_stack_apply, stack_apply)
 from gymothelloenv_tpu.core.featurize import make_state
 from gymothelloenv_tpu.core.state import EnvConfig
 from gymothelloenv_tpu.models.distributions import MaskedCategorical
@@ -39,6 +40,17 @@ def make_mlp_apply_fn():
     return apply_fn
 
 
+def make_conv_apply_fn():
+    """Same protocol over the conv towers (``acktr_conv_init``): obs stay
+    (N, 4, B, B) planes."""
+    def apply_fn(agent, obs):
+        x = obs.astype(jnp.float32)
+        logits, _ = stack_apply(agent.actor, agent.actor_specs, x)
+        values, _ = stack_apply(agent.critic, agent.critic_specs, x)
+        return logits, values[:, 0], None
+    return apply_fn
+
+
 class ACKTRSelfPlayTrainer(PPOSelfPlayTrainer):
     """Reuses the parent train/eval loop; ``self.params`` holds the
     ``ACKTRAgent`` pytree (actor/critic MLP stacks + K-FAC states) and
@@ -46,20 +58,27 @@ class ACKTRSelfPlayTrainer(PPOSelfPlayTrainer):
 
     def __init__(self, acktr_cfg: ACKTRConfig = None,
                  env_cfg: EnvConfig = None,
-                 run_cfg: SelfPlayConfig = None, log_fn=None):
+                 run_cfg: SelfPlayConfig = None, log_fn=None,
+                 net: str = "mlp"):
         self.acktr_cfg = acktr_cfg or ACKTRConfig()
         if run_cfg is None:
             run_cfg = SelfPlayConfig(num_steps=5)   # arguments.py default
         super().__init__(env_cfg=env_cfg, run_cfg=run_cfg, log_fn=log_fn)
 
-        # Swap in the MLP agent: the parent's ensure_initialized and eval
-        # read self.params/self.apply_fn at call time, so replacing them
-        # re-targets the whole loop.
-        self.apply_fn = make_mlp_apply_fn()
+        # Swap in the spec'd agent: the parent's ensure_initialized and
+        # eval read self.params/self.apply_fn at call time, so replacing
+        # them re-targets the whole loop.  net='conv' uses the
+        # CNNBase-shaped towers with KFC conv factors.
+        conv = net == "conv"
+        self.apply_fn = make_conv_apply_fn() if conv else make_mlp_apply_fn()
         B = self.env_cfg.board_size
         self.key, k = jax.random.split(self.key)
-        self.params = acktr_init(k, obs_dim=4 * B * B,
-                                 num_actions=self.env_cfg.num_actions)
+        if conv:
+            self.params = acktr_conv_init(
+                k, board_size=B, num_actions=self.env_cfg.num_actions)
+        else:
+            self.params = acktr_init(k, obs_dim=4 * B * B,
+                                     num_actions=self.env_cfg.num_actions)
         self.opt_state = ()
 
         env_cfg = self.env_cfg
@@ -76,8 +95,9 @@ class ACKTRSelfPlayTrainer(PPOSelfPlayTrainer):
             T, N = rollout.reward.shape
             flat = jax.tree.map(
                 lambda x: x.reshape((T * N,) + x.shape[2:]), rollout)
+            obs = flat.obs.astype(jnp.float32)
             flat = flat.replace(
-                obs=flat.obs.astype(jnp.float32).reshape(T * N, -1))
+                obs=obs if conv else obs.reshape(T * N, -1))
             agent, metrics = acktr_update(agent, flat, returns.reshape(-1),
                                           key, acktr_cfg)
             metrics = dict(metrics)
