@@ -30,7 +30,6 @@ Semantics reproduced:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 

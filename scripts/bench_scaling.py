@@ -16,7 +16,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from gymothelloenv_tpu.agents.ppo import PPOConfig, make_optimizer
 from gymothelloenv_tpu.core.state import EnvConfig
