@@ -128,14 +128,29 @@ def dqn_act(params, apply_fn: Callable, board, turn, legal, key,
     return jnp.where(use_rand, random, greedy)
 
 
+def shard_minibatch_idx(idx: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Constrain sampled replay indices over the mesh's 'data' axis so the
+    row gather, featurize and gradient compute all run data-parallel —
+    GSPMD inserts the gradient all-reduce.  The replay itself stays
+    replicated: sampling is GLOBAL (exact single-device PER semantics; the
+    per-shard-replay alternative trades that exactness for sharded
+    capacity — see parallel/README note in docs/DESIGN.md)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    return jax.lax.with_sharding_constraint(
+        idx, NamedSharding(mesh, PartitionSpec("data")))
+
+
 def dqn_train_batch(state: DQNState, replay: Replay, cfg: DQNConfig,
                     rb_cfg: ReplayConfig, apply_fn: Callable,
-                    optimizer, key: jax.Array):
+                    optimizer, key: jax.Array, mesh=None):
     """One minibatch update (train_network, dqn.py:407-467):
     y = r + gamma^n * max_a' targetQ(s', a') (Double: online argmax),
     Huber loss on gathered Q, RMSprop step, PER priority refresh.
-    Returns (state, replay, loss)."""
+    Returns (state, replay, loss).  ``mesh``: shard the minibatch over
+    'data' (global sampling, DP gradients)."""
     idx = replay_sample_idx(replay, rb_cfg, key, cfg.batch_size)
+    if mesh is not None:
+        idx = shard_minibatch_idx(idx, mesh)
     board, turn, action, reward, next_board, next_turn, done = \
         replay_gather(replay, idx)
 

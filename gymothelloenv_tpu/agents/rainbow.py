@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import optax
 from flax import linen as nn
 
-from gymothelloenv_tpu.agents.dqn import DQNState, featurize3
+from gymothelloenv_tpu.agents.dqn import (DQNState, featurize3,
+                                          shard_minibatch_idx)
 from gymothelloenv_tpu.agents.replay import (Replay, ReplayConfig,
                                              replay_gather,
                                              replay_sample_idx,
@@ -177,11 +178,15 @@ def _project_distribution(next_probs, rewards, not_done,
 
 def rainbow_train_batch(state: DQNState, replay: Replay,
                         cfg: RainbowConfig, rb_cfg: ReplayConfig,
-                        apply_fn, optimizer, key: jax.Array):
+                        apply_fn, optimizer, key: jax.Array, mesh=None):
     """C51 projected-Bellman update with double-DQN action selection and
-    PER priorities = KL losses.  Returns (state, replay, loss)."""
+    PER priorities = KL losses.  Returns (state, replay, loss).
+    ``mesh``: shard the minibatch over 'data' (see
+    agents.dqn.shard_minibatch_idx)."""
     k_sample, k_online, k_target, k_train = jax.random.split(key, 4)
     idx = replay_sample_idx(replay, rb_cfg, k_sample, cfg.batch_size)
+    if mesh is not None:
+        idx = shard_minibatch_idx(idx, mesh)
     board, turn, action, reward, next_board, next_turn, done = \
         replay_gather(replay, idx)
     next_obs = featurize3(next_board, next_turn)

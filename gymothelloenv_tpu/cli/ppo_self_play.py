@@ -59,6 +59,11 @@ def main(argv=None):
                              "self-play)")
     parser.add_argument("--pool-interval", type=int, default=250,
                         help="updates between pool snapshots")
+    parser.add_argument("--recurrent", action="store_true",
+                        help="GRU-recurrent policy (model.py:230-285 "
+                             "rebuilt; hidden state threaded through "
+                             "collection, env-subset minibatches — "
+                             "num-envs must divide by num-mini-batch)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 net compute (params stay fp32; "
                              "~17%% faster updates at num-envs 4096)")
@@ -81,7 +86,7 @@ def main(argv=None):
         save_interval=args.save_interval, seed=args.seed,
         bf16=args.bf16, hidden_size=args.hidden_size,
         width_mult=args.width_mult, opponent_pool=args.opponent_pool,
-        pool_interval=args.pool_interval)
+        pool_interval=args.pool_interval, recurrent=args.recurrent)
 
     logger = MetricsLogger(args.log_dir) if args.log_dir else None
     trainer = PPOSelfPlayTrainer(

@@ -1,8 +1,12 @@
 from gymothelloenv_tpu.parallel.sharding import (  # noqa: F401
     constrain_batch,
+    constrain_batch_axes,
+    constrain_replicated,
     make_mesh,
+    place_replicated,
     policy_param_shardings,
     replicated,
+    shard_batch_axes,
     shard_batch_tree,
 )
 from gymothelloenv_tpu.parallel.dp import make_sharded_train_step  # noqa: F401

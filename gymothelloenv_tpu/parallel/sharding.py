@@ -117,3 +117,59 @@ def constrain_batch(tree, mesh: Mesh, axis: int = 0,
         return jax.lax.with_sharding_constraint(
             leaf, NamedSharding(mesh, spec))
     return jax.tree.map(constrain, tree)
+
+
+def _batch_axes_spec(leaf, sizes: Sequence[int]):
+    """P(...) sharding the first axis whose extent matches one of
+    ``sizes`` (tried in order, so put the primary batch size first — a
+    (2, N, ...) pending-pair leaf must shard axis 1, not the structural
+    axis 0 even when ``2*N`` is also listed).  Key leaves and leaves with
+    no matching axis replicate (None → pass through unconstrained)."""
+    if _is_key_leaf(leaf):
+        return None
+    for size in sizes:
+        for ax, extent in enumerate(leaf.shape):
+            if extent == size:
+                spec = [None] * leaf.ndim
+                spec[ax] = "data"
+                return P(*spec)
+    return P()
+
+
+def shard_batch_axes(mesh: Mesh, tree, sizes: Sequence[int]):
+    """NamedSharding pytree for heterogeneous batch trees (e.g. the DQN
+    roll state: env leaves (N, ...), pending pairs (2, N, ...), n-step
+    FIFO streams (k, 2N, ...)): shard the first axis matching a size in
+    ``sizes`` over 'data'; everything else replicates."""
+    def assign(leaf):
+        spec = _batch_axes_spec(leaf, sizes)
+        return NamedSharding(mesh, spec if spec is not None else P())
+    return jax.tree.map(assign, tree)
+
+
+def constrain_batch_axes(tree, mesh: Mesh, sizes: Sequence[int]):
+    """with_sharding_constraint variant of :func:`shard_batch_axes`
+    (key leaves pass through unconstrained)."""
+    def constrain(leaf):
+        spec = _batch_axes_spec(leaf, sizes)
+        if spec is None:
+            return leaf
+        return jax.lax.with_sharding_constraint(
+            leaf, NamedSharding(mesh, spec))
+    return jax.tree.map(constrain, tree)
+
+
+def constrain_replicated(tree, mesh: Mesh):
+    """Constrain every (non-key) leaf fully replicated."""
+    def constrain(leaf):
+        if _is_key_leaf(leaf):
+            return leaf
+        return jax.lax.with_sharding_constraint(
+            leaf, NamedSharding(mesh, P()))
+    return jax.tree.map(constrain, tree)
+
+
+def place_replicated(tree, mesh: Mesh):
+    """device_put every leaf fully replicated on the mesh."""
+    return jax.device_put(
+        tree, jax.tree.map(lambda _: NamedSharding(mesh, P()), tree))

@@ -27,6 +27,8 @@ class A2CSelfPlayTrainer(PPOSelfPlayTrainer):
         if run_cfg is None:
             run_cfg = SelfPlayConfig(num_steps=5)   # arguments.py default
         super().__init__(env_cfg=env_cfg, run_cfg=run_cfg, log_fn=log_fn)
+        if self.run_cfg.recurrent:
+            raise ValueError("recurrent policies are PPO-only (use PPOSelfPlayTrainer)")
 
         # Replace the PPO optimizer/update with the A2C ones.
         self.optimizer = make_a2c_optimizer(self.a2c_cfg)

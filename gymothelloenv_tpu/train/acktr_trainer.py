@@ -64,6 +64,8 @@ class ACKTRSelfPlayTrainer(PPOSelfPlayTrainer):
         if run_cfg is None:
             run_cfg = SelfPlayConfig(num_steps=5)   # arguments.py default
         super().__init__(env_cfg=env_cfg, run_cfg=run_cfg, log_fn=log_fn)
+        if self.run_cfg.recurrent:
+            raise ValueError("recurrent policies are PPO-only (use PPOSelfPlayTrainer)")
 
         # Swap in the spec'd agent: the parent's ensure_initialized and
         # eval read self.params/self.apply_fn at call time, so replacing

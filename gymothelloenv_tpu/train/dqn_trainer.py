@@ -91,11 +91,20 @@ def _split_keys(keys):
 
 
 class DQNTrainer:
+    """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis.  When
+    set, the whole chunk runs as one GSPMD program: the env batch (and the
+    pending/FIFO streams) shard over 'data', the replay stays REPLICATED
+    (sampling is global — exact single-device PER semantics, the design
+    the reference's single-process ``Memory`` implies, dqn.py:23-69), and
+    each minibatch update gathers/grads data-parallel with an XLA-inserted
+    all-reduce.  1-vs-8-device parity is asserted by
+    tests/test_sharded_trainers.py."""
+
     def __init__(self, env_cfg: EnvConfig = None,
                  dqn_cfg: DQNConfig = None,
                  rb_cfg: ReplayConfig = None,
                  run_cfg: DQNRunConfig = None,
-                 log_fn=None):
+                 log_fn=None, mesh=None):
         self.env_cfg = env_cfg or EnvConfig(num_disk_as_reward=True)
         self.dqn_cfg = dqn_cfg or DQNConfig(
             board_size=self.env_cfg.board_size)
@@ -103,6 +112,7 @@ class DQNTrainer:
             board_size=self.env_cfg.board_size)
         self.run_cfg = run_cfg or DQNRunConfig()
         self.log_fn = log_fn
+        self.mesh = mesh
 
         self._setup_algo()
 
@@ -134,7 +144,8 @@ class DQNTrainer:
 
     def _agent_train_batch(self, agent, replay, key):
         return dqn_train_batch(agent, replay, self.dqn_cfg, self.rb_cfg,
-                               self.apply_fn, self.optimizer, key)
+                               self.apply_fn, self.optimizer, key,
+                               mesh=self.mesh)
 
     def _eval_act(self, params, key, state):
         """epsilon=0.05 greedy eval action (get_action_at_test,
@@ -309,8 +320,19 @@ class DQNTrainer:
                 return (roll, key), emitted
             return ply
 
+        mesh = self.mesh
+        if mesh is not None:
+            from gymothelloenv_tpu.parallel.sharding import (
+                constrain_batch_axes)
+
         def train_chunk(agent: DQNState, replay: Replay,
                         roll: DQNRollState, key):
+            if mesh is not None:
+                # Pin the batch layout: env leaves (N, ...), pending pairs
+                # (2, N, ...), n-step FIFO streams (k, 2N, ...) all shard
+                # their batch axis over 'data'; GSPMD propagates it through
+                # the collection scan.
+                roll = constrain_batch_axes(roll, mesh, (N, 2 * N))
             key, k_collect, k_train = jax.random.split(key, 3)
             eps = self._epsilon(agent.t)
             (roll, _), em = jax.lax.scan(
@@ -400,6 +422,15 @@ class DQNTrainer:
         if self.roll is None:
             self.key, k = jax.random.split(self.key)
             self.roll = self._init_roll(k)
+            if self.mesh is not None:
+                from gymothelloenv_tpu.parallel.sharding import (
+                    place_replicated, shard_batch_axes)
+                N = self.run_cfg.num_envs
+                self.roll = jax.device_put(
+                    self.roll,
+                    shard_batch_axes(self.mesh, self.roll, (N, 2 * N)))
+                self.agent = place_replicated(self.agent, self.mesh)
+                self.replay = place_replicated(self.replay, self.mesh)
 
     def train(self, num_chunks: int, log_every: int = 10,
               checkpoint_path: str = None):

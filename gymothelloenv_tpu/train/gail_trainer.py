@@ -46,6 +46,8 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
     def __init__(self, expert_path: str, gail_cfg: GAILConfig = None,
                  gail_run: GAILRunConfig = None, **kw):
         super().__init__(**kw)
+        if self.run_cfg.recurrent:
+            raise ValueError("recurrent policies are PPO-only (use PPOSelfPlayTrainer)")
         self.gail_run = gail_run or GAILRunConfig()
         self.gail_cfg = gail_cfg or GAILConfig(gamma=self.ppo_cfg.gamma)
         self.expert = ExpertDataset(

@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from gymothelloenv_tpu.agents.ppo import (PPOConfig, make_optimizer,
-                                          ppo_update)
+                                          ppo_update,
+                                          ppo_update_recurrent)
 from gymothelloenv_tpu.core.featurize import make_state
 from gymothelloenv_tpu.core.state import EnvConfig
 from gymothelloenv_tpu.models.distributions import MaskedCategorical
@@ -22,7 +23,9 @@ from gymothelloenv_tpu.models.nets import PolicyNet
 from gymothelloenv_tpu.policies.scripted import (greedy_policy,
                                                  random_policy)
 from gymothelloenv_tpu.train.self_play import (collect_rollout,
-                                               selfplay_init)
+                                               collect_rollout_recurrent,
+                                               selfplay_init,
+                                               selfplay_init_recurrent)
 from gymothelloenv_tpu.train.tournament import play_games_impl
 from gymothelloenv_tpu.utils.checkpoint import (load_checkpoint,
                                                 save_checkpoint)
@@ -55,6 +58,11 @@ class SelfPlayConfig:
     # reference-parity mirror self-play.
     opponent_pool: int = 0
     pool_interval: int = 250
+    # GRU-recurrent policy (model.py:230-285 rebuilt working; see
+    # agents.ppo.ppo_update_recurrent — the fork hard-errors on masked
+    # actions here, algo/ppo.py:44-46).  num_envs must divide by
+    # PPOConfig.num_mini_batch (env-subset minibatches).
+    recurrent: bool = False
 
 
 def make_network(cfg: EnvConfig, recurrent: bool = False,
@@ -71,6 +79,74 @@ def make_apply_fn(net: PolicyNet):
     def apply_fn(params, obs):
         return net.apply(params, obs)
     return apply_fn
+
+
+def make_apply_fn_recurrent(net: PolicyNet):
+    """(params, obs, h, mask) -> (logits, value, h') for
+    PolicyNet(recurrent=True)."""
+    def apply_fn(params, obs, h, mask):
+        return net.apply(params, obs, h, mask)
+    return apply_fn
+
+
+def play_games_recurrent(key, cfg: EnvConfig, params, apply_fn,
+                         opp_policy, num_games: int, net_color: int,
+                         init_rand_steps: int = 0,
+                         hidden_size: int = 512):
+    """Eval games for a recurrent net vs a scripted ``(key, state) ->
+    action`` policy, threading the net's GRU hidden per game.  The hidden
+    advances only on plies where the net's decision is actually executed
+    (its turn, game live, no random-opening override) — matching the
+    collector's decision-stream semantics.  Returns winners int8."""
+    from gymothelloenv_tpu.core import state as core
+    from gymothelloenv_tpu.policies.scripted import random_action
+    from gymothelloenv_tpu.train.tournament import draw_max_rand_steps
+
+    max_plies = cfg.board_size * cfg.board_size
+    game_keys = jax.random.split(key, num_games + 1)
+    key = game_keys[0]
+    states = jax.vmap(lambda _: core.reset(cfg))(jnp.arange(num_games))
+    rand_left = jax.vmap(draw_max_rand_steps, in_axes=(0, None))(
+        game_keys[1:], init_rand_steps)
+    h = jnp.zeros((num_games, hidden_size), jnp.float32)
+
+    def cond(carry):
+        states = carry[0]
+        return (~states.terminated.all()) & (carry[4] < max_plies)
+
+    def body(carry):
+        states, rand_left, key, h, ply = carry
+        key, k_rand, k_net, k_opp = jax.random.split(key, 4)
+        n = num_games
+        obs = jax.vmap(make_state)(states)
+        logits, _, h_new = apply_fn(params, obs, h,
+                                    jnp.ones((n,), jnp.float32))
+        a_net = jax.vmap(lambda lg, m, k: MaskedCategorical(
+            logits=lg, mask=m).sample(k))(
+            logits, states.legal, jax.random.split(k_net, n))
+        a_opp = jax.vmap(opp_policy)(jax.random.split(k_opp, n), states)
+        a_rand = jax.vmap(random_action)(jax.random.split(k_rand, n),
+                                         states.legal)
+        net_turn = states.turn == net_color
+        action = jnp.where(rand_left > 0, a_rand,
+                           jnp.where(net_turn, a_net, a_opp))
+        live = ~states.terminated
+        consumed = net_turn & live & (rand_left <= 0)
+        h = jnp.where(consumed[:, None], h_new, h)
+
+        stepped = jax.vmap(core.step, in_axes=(0, 0, None))(
+            states, action, cfg)
+        new_states = jax.tree.map(
+            lambda new, old: jnp.where(
+                live.reshape((-1,) + (1,) * (old.ndim - 1)), new, old),
+            stepped.state, states)
+        new_rand_left = jnp.where(live, jnp.maximum(rand_left - 1, 0),
+                                  rand_left)
+        return new_states, new_rand_left, key, h, ply + 1
+
+    states, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (states, rand_left, key, h, jnp.int32(0)))
+    return states.winner
 
 
 def load_eval_policy(path: str, cfg: EnvConfig):
@@ -130,17 +206,31 @@ class PPOSelfPlayTrainer:
                 f"pool_interval must be >= 1 when opponent_pool is on "
                 f"(got {self.run_cfg.pool_interval})")
 
-        self.net = make_network(self.env_cfg, bf16=self.run_cfg.bf16,
+        recurrent = self.run_cfg.recurrent
+        if recurrent and self.run_cfg.num_envs % self.ppo_cfg.num_mini_batch:
+            raise ValueError(
+                f"recurrent PPO needs num_envs ({self.run_cfg.num_envs}) "
+                f"divisible by num_mini_batch "
+                f"({self.ppo_cfg.num_mini_batch})")
+        self.net = make_network(self.env_cfg, recurrent=recurrent,
+                                bf16=self.run_cfg.bf16,
                                 hidden_size=self.run_cfg.hidden_size,
                                 width_mult=self.run_cfg.width_mult)
-        self.apply_fn = make_apply_fn(self.net)
+        self.apply_fn = (make_apply_fn_recurrent(self.net) if recurrent
+                         else make_apply_fn(self.net))
         self.optimizer = make_optimizer(self.ppo_cfg)
 
         key = jax.random.PRNGKey(self.run_cfg.seed)
         self.key, k_init = jax.random.split(key)
         dummy = jnp.zeros((1, 4, self.env_cfg.board_size,
                            self.env_cfg.board_size))
-        self.params = self.net.init(k_init, dummy)
+        if recurrent:
+            self.params = self.net.init(
+                k_init, dummy,
+                jnp.zeros((1, self.run_cfg.hidden_size)),
+                jnp.ones((1,)))
+        else:
+            self.params = self.net.init(k_init, dummy)
         self.opt_state = self.optimizer.init(self.params)
         self.update_count = 0
         self.sp_state = None
@@ -154,12 +244,23 @@ class PPOSelfPlayTrainer:
         use_pool = run_cfg_.opponent_pool > 0
 
         def train_step(params, opt_state, sp_state, key, opp_params=None):
-            sp_state, rollout, bootstrap = collect_rollout(
-                params, apply_fn, sp_state, env_cfg_, run_cfg_.num_steps,
-                run_cfg_.init_rand_steps, opp_params=opp_params)
-            params, opt_state, metrics = ppo_update(
-                params, opt_state, rollout, bootstrap, key, apply_fn,
-                optimizer, ppo_cfg_)
+            if recurrent:
+                sp_state, rollout, h0, masks, bootstrap = \
+                    collect_rollout_recurrent(
+                        params, apply_fn, sp_state, env_cfg_,
+                        run_cfg_.num_steps, run_cfg_.init_rand_steps,
+                        opp_params=opp_params)
+                params, opt_state, metrics = ppo_update_recurrent(
+                    params, opt_state, rollout, h0, masks, bootstrap,
+                    key, apply_fn, optimizer, ppo_cfg_)
+            else:
+                sp_state, rollout, bootstrap = collect_rollout(
+                    params, apply_fn, sp_state, env_cfg_,
+                    run_cfg_.num_steps, run_cfg_.init_rand_steps,
+                    opp_params=opp_params)
+                params, opt_state, metrics = ppo_update(
+                    params, opt_state, rollout, bootstrap, key, apply_fn,
+                    optimizer, ppo_cfg_)
             metrics = dict(metrics)
             metrics["episode_return"] = (
                 rollout.reward.sum() / jnp.maximum(rollout.done.sum(), 1))
@@ -181,19 +282,29 @@ class PPOSelfPlayTrainer:
             splitting games half/half (rule_base_game semantics,
             ppo_run_self_play.py:371-441)."""
             n = run_cfg_.num_test_games // 2
-            net_act = net_tournament_policy(params, apply_fn)
             # Eval uses win/loss only; the eval env's disk rewards don't
             # change the winner, so reuse the training EnvConfig.
             results = {}
             for name, opp in (("rand", random_policy),
                               ("greedy", greedy_policy)):
                 key, k1, k2 = jax.random.split(key, 3)
-                w_as_black = play_games_impl(
-                    k1, env_cfg_, net_act, opp, n,
-                    run_cfg_.test_init_rand_steps)
-                w_as_white = play_games_impl(
-                    k2, env_cfg_, opp, net_act, n,
-                    run_cfg_.test_init_rand_steps)
+                if recurrent:
+                    w_as_black = play_games_recurrent(
+                        k1, env_cfg_, params, apply_fn, opp, n, -1,
+                        run_cfg_.test_init_rand_steps,
+                        run_cfg_.hidden_size)
+                    w_as_white = play_games_recurrent(
+                        k2, env_cfg_, params, apply_fn, opp, n, 1,
+                        run_cfg_.test_init_rand_steps,
+                        run_cfg_.hidden_size)
+                else:
+                    net_act = net_tournament_policy(params, apply_fn)
+                    w_as_black = play_games_impl(
+                        k1, env_cfg_, net_act, opp, n,
+                        run_cfg_.test_init_rand_steps)
+                    w_as_white = play_games_impl(
+                        k2, env_cfg_, opp, net_act, n,
+                        run_cfg_.test_init_rand_steps)
                 wins = ((w_as_black == -1).sum()
                         + (w_as_white == 1).sum())
                 results[name] = wins / (2 * n)
@@ -212,13 +323,25 @@ class PPOSelfPlayTrainer:
                     self.pool.append(self._snapshot_params())
                 kwargs["opp_params"] = self.pool[
                     self._pool_rng.randrange(len(self.pool))]
-            self.sp_state = jax.jit(
-                selfplay_init, static_argnames=("apply_fn", "cfg",
-                                                "num_envs",
-                                                "init_rand_steps"))(
-                self.params, apply_fn=self.apply_fn, key=k,
-                cfg=self.env_cfg, num_envs=self.run_cfg.num_envs,
-                init_rand_steps=self.run_cfg.init_rand_steps, **kwargs)
+            if self.run_cfg.recurrent:
+                self.sp_state = jax.jit(
+                    selfplay_init_recurrent,
+                    static_argnames=("apply_fn", "cfg", "num_envs",
+                                     "hidden_size", "init_rand_steps"))(
+                    self.params, apply_fn=self.apply_fn, key=k,
+                    cfg=self.env_cfg, num_envs=self.run_cfg.num_envs,
+                    hidden_size=self.run_cfg.hidden_size,
+                    init_rand_steps=self.run_cfg.init_rand_steps,
+                    **kwargs)
+            else:
+                self.sp_state = jax.jit(
+                    selfplay_init, static_argnames=("apply_fn", "cfg",
+                                                    "num_envs",
+                                                    "init_rand_steps"))(
+                    self.params, apply_fn=self.apply_fn, key=k,
+                    cfg=self.env_cfg, num_envs=self.run_cfg.num_envs,
+                    init_rand_steps=self.run_cfg.init_rand_steps,
+                    **kwargs)
 
     def _snapshot_params(self):
         return jax.tree.map(lambda x: x.copy(), self.params)

@@ -38,7 +38,7 @@ class RainbowTrainer(DQNTrainer):
                  rainbow_cfg: RainbowConfig = None,
                  rb_cfg: ReplayConfig = None,
                  run_cfg: DQNRunConfig = None,
-                 log_fn=None):
+                 log_fn=None, mesh=None):
         env_cfg = env_cfg or EnvConfig(num_disk_as_reward=True)
         rainbow_cfg = rainbow_cfg or RainbowConfig(
             board_size=env_cfg.board_size)
@@ -46,7 +46,8 @@ class RainbowTrainer(DQNTrainer):
         rb_cfg = rb_cfg or ReplayConfig(board_size=env_cfg.board_size,
                                         prioritized=True)
         super().__init__(env_cfg=env_cfg, dqn_cfg=rainbow_cfg,
-                         rb_cfg=rb_cfg, run_cfg=run_cfg, log_fn=log_fn)
+                         rb_cfg=rb_cfg, run_cfg=run_cfg, log_fn=log_fn,
+                         mesh=mesh)
 
     # -- algorithm hooks -------------------------------------------------
     def _setup_algo(self):
@@ -70,7 +71,7 @@ class RainbowTrainer(DQNTrainer):
     def _agent_train_batch(self, agent, replay, key):
         return rainbow_train_batch(agent, replay, self.dqn_cfg,
                                    self.rb_cfg, self.apply_fn,
-                                   self.optimizer, key)
+                                   self.optimizer, key, mesh=self.mesh)
 
     def _eval_act(self, params, key, state):
         """Deterministic (mean-weight, noise off) greedy action."""

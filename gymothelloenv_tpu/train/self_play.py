@@ -249,3 +249,177 @@ def collect_rollout(params, apply_fn: ApplyFn, sp: SelfPlayState,
 
     sp, rollout = jax.lax.scan(slot, sp, None, length=num_steps)
     return sp, rollout, sp.pending.value
+
+
+# ---------------------------------------------------------------------------
+# Recurrent (GRU) self-play collection — hidden-state threading for
+# PolicyNet(recurrent=True), the working end-to-end counterpart of the
+# vendored ``NNBase._forward_gru`` recurrence (model.py:230-285) whose
+# masked-action training path the fork itself hard-errors on
+# (algo/ppo.py:44-46).  Kept separate from the feed-forward collector
+# above: that one is the perf-critical bench path.
+#
+# Hidden-state semantics: each color's decision stream is a GRU sequence.
+# The protagonist stream is what the update replays (ppo_update_recurrent):
+# ``pending.h`` stores the hidden state INPUT consumed by the pending
+# decision, so the rollout's ``h0`` is simply the first pending's input and
+# ``masks[t] = 1 - done[t-1]`` reproduces the live resets (games reset in
+# the same slot their terminal transition is emitted; both streams are
+# zeroed there).  The opponent color (mirror policy or a frozen pool
+# snapshot) carries its own hidden stream, advanced only on plies it
+# actually takes.
+
+@struct.dataclass
+class RecPending:
+    obs: jnp.ndarray      # (N, C, B, B) int8
+    action: jnp.ndarray   # (N,)
+    logp: jnp.ndarray     # (N,)
+    value: jnp.ndarray    # (N,)
+    legal: jnp.ndarray    # (N, A)
+    h: jnp.ndarray        # (N, H) hidden INPUT of this decision
+
+
+@struct.dataclass
+class RecSelfPlayState:
+    env: object
+    rand_left: jnp.ndarray
+    pcolor: jnp.ndarray
+    env_keys: jnp.ndarray
+    pending: RecPending
+    h_prot: jnp.ndarray   # (N, H) protagonist hidden AFTER the pending
+    h_opp: jnp.ndarray    # (N, H) opponent-stream hidden
+    key: jax.Array
+
+
+def policy_sample_rec(params, apply_fn, eng, env, keys, h):
+    """Recurrent ``policy_sample``: ``apply_fn(params, obs, h, mask) ->
+    (logits, value, h')``.  Resets are handled by zeroing ``h`` at game
+    boundaries, so the in-flight mask is all-ones."""
+    obs = eng.featurize(env)
+    legal = eng.legal_flat(env)
+    logits, value, h_new = apply_fn(params, obs, h,
+                                    jnp.ones(h.shape[:1], obs.dtype))
+    action = jax.vmap(lambda lg, m, k: MaskedCategorical(
+        logits=lg, mask=m).sample(k))(logits, legal, keys)
+    logp = MaskedCategorical(logits=logits, mask=legal).log_prob(action)
+    return obs, legal, action, logp, value, h_new
+
+
+def advance_opponent_rec(params, apply_fn, eng, env, rand_left, keys,
+                         pcolor, h_opp, cfg: EnvConfig):
+    """Recurrent ``advance_opponent``: steps opponent-to-move games,
+    advancing the opponent hidden stream only where a ply was taken."""
+    def needs(env):
+        return (~env.terminated) & (env.turn != pcolor)
+
+    def cond(carry):
+        env, _, _, _ = carry
+        return needs(env).any()
+
+    def body(carry):
+        env, rand_left, keys, h_opp = carry
+        do = needs(env)
+        keys, sample_keys = split_each(keys)
+        _, _, action, _, _, h_new = policy_sample_rec(
+            params, apply_fn, eng, env, sample_keys, h_opp)
+        h_opp = jnp.where(do[:, None], h_new, h_opp)
+        env, rand_left, keys = masked_step(eng, env, rand_left, keys,
+                                           action, do, cfg)
+        return env, rand_left, keys, h_opp
+
+    return jax.lax.while_loop(cond, body, (env, rand_left, keys, h_opp))
+
+
+def _rec_protagonist_act(params, apply_fn, eng, env, rand_left, keys,
+                         h_prot, cfg):
+    keys, sample_keys = split_each(keys)
+    obs, legal, action, logp, value, h_new = policy_sample_rec(
+        params, apply_fn, eng, env, sample_keys, h_prot)
+    num_envs = action.shape[0]
+    env, rand_left, keys = masked_step(
+        eng, env, rand_left, keys, action, jnp.ones((num_envs,), bool),
+        cfg)
+    pending = RecPending(obs=obs.astype(jnp.int8), action=action,
+                         logp=logp, value=value, legal=legal, h=h_prot)
+    return env, rand_left, keys, pending, h_new
+
+
+def selfplay_init_recurrent(params, apply_fn, key: jax.Array,
+                            cfg: EnvConfig, num_envs: int,
+                            hidden_size: int,
+                            init_rand_steps: int = 0,
+                            force_plane: bool = False,
+                            opp_params=None) -> RecSelfPlayState:
+    """Fresh games + first protagonist decision with zero hidden states."""
+    eng = get_engine(cfg, force_plane)
+    if opp_params is None:
+        opp_params = params
+    key, k_env, k_color, k_rand = jax.random.split(key, 4)
+    env_keys = jax.random.split(k_env, num_envs)
+    env = eng.reset_batch(num_envs, cfg)
+    rand_left = jax.vmap(draw_max_rand_steps, in_axes=(0, None))(
+        jax.random.split(k_rand, num_envs), init_rand_steps)
+    pcolor = (jax.random.randint(k_color, (num_envs,), 0, 2) * 2
+              - 1).astype(jnp.int8)
+    h_prot = jnp.zeros((num_envs, hidden_size), jnp.float32)
+    h_opp = jnp.zeros((num_envs, hidden_size), jnp.float32)
+
+    env, rand_left, env_keys, h_opp = advance_opponent_rec(
+        opp_params, apply_fn, eng, env, rand_left, env_keys, pcolor,
+        h_opp, cfg)
+    env, rand_left, env_keys, pending, h_prot = _rec_protagonist_act(
+        params, apply_fn, eng, env, rand_left, env_keys, h_prot, cfg)
+    return RecSelfPlayState(env=env, rand_left=rand_left, pcolor=pcolor,
+                            env_keys=env_keys, pending=pending,
+                            h_prot=h_prot, h_opp=h_opp, key=key)
+
+
+def collect_rollout_recurrent(params, apply_fn, sp: RecSelfPlayState,
+                              cfg: EnvConfig, num_steps: int,
+                              init_rand_steps: int = 0,
+                              force_plane: bool = False,
+                              opp_params=None):
+    """Scan ``num_steps`` slots with GRU hidden threading; returns
+    (new_state, Transition (T, N, ...), h0 (N, H), masks (T, N),
+    bootstrap_value (N,)) — exactly the inputs ``ppo_update_recurrent``
+    replays."""
+    eng = get_engine(cfg, force_plane)
+    if opp_params is None:
+        opp_params = params
+    h0 = sp.pending.h
+
+    def slot(sp: RecSelfPlayState, _):
+        env, rand_left, env_keys, h_opp = advance_opponent_rec(
+            opp_params, apply_fn, eng, sp.env, sp.rand_left, sp.env_keys,
+            sp.pcolor, sp.h_opp, cfg)
+
+        done = env.terminated
+        reward = jnp.where(done, eng.outcome_for(env, sp.pcolor, cfg), 0.0)
+        emit = Transition(obs=sp.pending.obs, action=sp.pending.action,
+                          logp=sp.pending.logp, value=sp.pending.value,
+                          reward=reward, done=done, legal=sp.pending.legal)
+
+        env, rand_left, pcolor, env_keys = reset_done(
+            eng, env, rand_left, sp.pcolor, env_keys, done, cfg,
+            init_rand_steps)
+        # Zero both hidden streams for fresh games.
+        h_prot = jnp.where(done[:, None], 0.0, sp.h_prot)
+        h_opp = jnp.where(done[:, None], 0.0, h_opp)
+
+        env, rand_left, env_keys, h_opp = advance_opponent_rec(
+            opp_params, apply_fn, eng, env, rand_left, env_keys, pcolor,
+            h_opp, cfg)
+
+        env, rand_left, env_keys, pending, h_prot = _rec_protagonist_act(
+            params, apply_fn, eng, env, rand_left, env_keys, h_prot, cfg)
+
+        return RecSelfPlayState(env=env, rand_left=rand_left,
+                                pcolor=pcolor, env_keys=env_keys,
+                                pending=pending, h_prot=h_prot,
+                                h_opp=h_opp, key=sp.key), emit
+
+    sp, rollout = jax.lax.scan(slot, sp, None, length=num_steps)
+    masks = jnp.concatenate(
+        [jnp.ones((1,) + rollout.done.shape[1:], jnp.float32),
+         1.0 - rollout.done[:-1].astype(jnp.float32)])
+    return sp, rollout, h0, masks, sp.pending.value

@@ -255,9 +255,18 @@ def collect_ts_rollout(params_t, params_s, apply_fn, ts: TSState,
 
 
 class TeacherStudentTrainer:
+    """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis — the
+    game batch, both roles' pending records and every (R*T, N) rollout
+    stream shard over 'data' while both param sets replicate; the two PPO
+    updates' gradients all-reduce over ICI (one GSPMD program, matching
+    the sharded self-play step in parallel/dp.py).  1-vs-8-device parity:
+    tests/test_sharded_trainers.py."""
+
     def __init__(self, env_cfg: EnvConfig = None,
                  ppo_cfg: PPOConfig = None,
-                 run_cfg: TeacherStudentConfig = None, log_fn=None):
+                 run_cfg: TeacherStudentConfig = None, log_fn=None,
+                 mesh=None):
+        self.mesh = mesh
         self.env_cfg = env_cfg or EnvConfig(num_disk_as_reward=True)
         # Reference overrides: lr 5e-6, clip 0.1, 4 minibatches
         # (ppo_run_teacher_vs_student.py:64-74).
@@ -286,14 +295,29 @@ class TeacherStudentTrainer:
                                         self.run_cfg)
         apply_fn, optimizer = self.apply_fn, self.optimizer
 
+        mesh = self.mesh
+        if mesh is not None:
+            from gymothelloenv_tpu.parallel.sharding import (
+                constrain_batch, constrain_batch_axes)
+        N_ = self.run_cfg.num_envs
+
         def train_step(params_t, params_s, opt_t, opt_s, ts_state,
                        teacher_reward, key):
+            if mesh is not None:
+                ts_state = constrain_batch_axes(ts_state, mesh, (N_,))
             key, k_c, k_t, k_s = jax.random.split(key, 4)
             ts_state, (roll_t, w_t, boot_t), (roll_s, w_s, boot_s) = \
                 collect_ts_rollout(params_t, params_s, apply_fn, ts_state,
                                    env_cfg_, run_cfg_.num_steps,
                                    run_cfg_.init_rand_steps,
                                    teacher_reward, k_c)
+            if mesh is not None:
+                roll_t, w_t = constrain_batch(
+                    (roll_t, w_t), mesh, axis=1, batch_size=N_)
+                roll_s, w_s = constrain_batch(
+                    (roll_s, w_s), mesh, axis=1, batch_size=N_)
+                boot_t, boot_s = constrain_batch(
+                    (boot_t, boot_s), mesh, axis=0, batch_size=N_)
             metrics = {}
             if run_cfg_.train_teacher:
                 params_t, opt_t, m_t = ppo_update(
@@ -345,6 +369,17 @@ class TeacherStudentTrainer:
                                           "init_rand_steps"))(
                 k, cfg=self.env_cfg, num_envs=self.run_cfg.num_envs,
                 init_rand_steps=self.run_cfg.init_rand_steps)
+            if self.mesh is not None:
+                from gymothelloenv_tpu.parallel.sharding import (
+                    place_replicated, shard_batch_axes)
+                self.ts_state = jax.device_put(
+                    self.ts_state,
+                    shard_batch_axes(self.mesh, self.ts_state,
+                                     (self.run_cfg.num_envs,)))
+                (self.params_t, self.params_s, self.opt_t,
+                 self.opt_s) = place_replicated(
+                    (self.params_t, self.params_s, self.opt_t,
+                     self.opt_s), self.mesh)
 
     def train(self, num_chunks: int, log_every: int = 10,
               checkpoint_path: str = None):

@@ -1,0 +1,105 @@
+"""1-vs-8-device parity for the sharded DQN(+PER)/Rainbow/teacher-student
+train steps (BASELINE configs[4]: "PPO teacher-vs-student + DQN w/
+prioritized replay, envs sharded over 2+ hosts").
+
+Each trainer runs as ONE GSPMD program: the same global math regardless of
+the mesh, with XLA partitioning the batch over 'data' and inserting the
+gradient all-reduces.  So a 1-device run and an 8-device run of the same
+seeds must agree to float-reassociation tolerance — the same gate
+tests/test_sharding.py applies to the plain PPO step.  The replay stays
+replicated (GLOBAL prioritized sampling — exactly the reference Memory's
+semantics, dqn.py:23-69); the per-shard-replay alternative is documented
+in docs/DESIGN.md.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from gymothelloenv_tpu.agents.dqn import DQNConfig
+from gymothelloenv_tpu.agents.rainbow import RainbowConfig
+from gymothelloenv_tpu.agents.replay import ReplayConfig
+from gymothelloenv_tpu.agents.ppo import PPOConfig
+from gymothelloenv_tpu.core.state import EnvConfig
+from gymothelloenv_tpu.parallel import make_mesh
+from gymothelloenv_tpu.train.dqn_trainer import DQNRunConfig, DQNTrainer
+from gymothelloenv_tpu.train.rainbow_trainer import RainbowTrainer
+from gymothelloenv_tpu.train.teacher_student import (TeacherStudentConfig,
+                                                     TeacherStudentTrainer)
+
+N_ENVS = 16
+
+
+def _assert_tree_close(a, b, rtol=5e-3, atol=1e-5):
+    flat_a, _ = jax.tree.flatten(a)
+    flat_b, _ = jax.tree.flatten(b)
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+def _dqn_trainer(mesh, prioritized):
+    env_cfg = EnvConfig(num_disk_as_reward=True)
+    dqn_cfg = DQNConfig(batch_size=16, initial_replay_size=1,
+                        target_update_interval=128, n_step=2,
+                        double=True, dueling=True, train_interval=4)
+    rb_cfg = ReplayConfig(capacity=2048, prioritized=prioritized)
+    run_cfg = DQNRunConfig(num_envs=N_ENVS, chunk_plies=6,
+                           init_rand_steps=2, seed=3)
+    return DQNTrainer(env_cfg, dqn_cfg, rb_cfg, run_cfg,
+                      log_fn=lambda *a: None, mesh=mesh)
+
+
+@pytest.mark.parametrize("model_parallel,prioritized",
+                         [(1, True), (2, False)])
+def test_dqn_sharded_parity(model_parallel, prioritized):
+    ref = _dqn_trainer(make_mesh(1), prioritized)
+    ref.train(num_chunks=2, log_every=100)
+    sh = _dqn_trainer(make_mesh(8, model_parallel=model_parallel),
+                      prioritized)
+    sh.train(num_chunks=2, log_every=100)
+    assert int(ref.agent.t) == int(sh.agent.t) > 0
+    assert int(ref.replay.size) == int(sh.replay.size) > 0
+    _assert_tree_close(ref.agent.params, sh.agent.params)
+    if prioritized:
+        np.testing.assert_allclose(np.asarray(ref.replay.priority),
+                                   np.asarray(sh.replay.priority),
+                                   rtol=5e-3, atol=1e-5)
+
+
+def test_rainbow_sharded_parity():
+    def build(mesh):
+        env_cfg = EnvConfig(num_disk_as_reward=True)
+        cfg = RainbowConfig(batch_size=16, initial_replay_size=1,
+                            target_update_interval=128, n_step=2,
+                            num_atoms=11)
+        rb_cfg = ReplayConfig(capacity=2048, prioritized=True)
+        run_cfg = DQNRunConfig(num_envs=N_ENVS, chunk_plies=6,
+                               init_rand_steps=2, seed=5)
+        return RainbowTrainer(env_cfg, cfg, rb_cfg, run_cfg,
+                              log_fn=lambda *a: None, mesh=mesh)
+
+    ref = build(make_mesh(1))
+    ref.train(num_chunks=2, log_every=100)
+    sh = build(make_mesh(8))
+    sh.train(num_chunks=2, log_every=100)
+    assert int(ref.agent.t) == int(sh.agent.t) > 0
+    _assert_tree_close(ref.agent.params, sh.agent.params)
+
+
+def test_teacher_student_sharded_parity():
+    def build(mesh):
+        env_cfg = EnvConfig(num_disk_as_reward=True)
+        ppo_cfg = PPOConfig(lr=2.5e-4, ppo_epochs=2, num_mini_batch=2)
+        run_cfg = TeacherStudentConfig(num_envs=N_ENVS, num_steps=3,
+                                       test_interval=10_000, seed=7)
+        return TeacherStudentTrainer(env_cfg, ppo_cfg, run_cfg,
+                                     log_fn=lambda *a: None, mesh=mesh)
+
+    ref = build(make_mesh(1))
+    ref.train(num_chunks=2, log_every=100)
+    sh = build(make_mesh(8))
+    sh.train(num_chunks=2, log_every=100)
+    _assert_tree_close(ref.params_s, sh.params_s)
+    _assert_tree_close(ref.params_t, sh.params_t)
