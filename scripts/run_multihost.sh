@@ -1,0 +1,44 @@
+#!/bin/bash
+# Multi-host launch recipe — one invocation per host of a pod slice.
+#
+# On Cloud TPU pods, jax.distributed auto-discovers the coordinator from
+# the metadata environment, so each host just runs the SAME command:
+#
+#   bash scripts/run_multihost.sh python -m gymothelloenv_tpu.cli.ppo_self_play \
+#       --num-envs 8192 --num-updates 4000 ...
+#
+# Elsewhere (e.g. CPU clusters, manual bring-up), export the cluster
+# coordinates first on every host:
+#
+#   export GYMO_COORD=host0:12345        # coordinator address (host 0)
+#   export GYMO_NPROCS=4                 # number of hosts
+#   export GYMO_PROC_ID=<this host's 0-based index>
+#
+# The wrapper injects a sitecustomize that calls
+# gymothelloenv_tpu.parallel.multihost.initialize() before user code, so
+# any trainer CLI (ppo_self_play, dqn_train, teacher_vs_student, ...)
+# becomes pod-ready unchanged: build the mesh with
+# multihost.make_pod_mesh() (or pass mesh=... to the trainers) and the
+# 'data' axis spans hosts — gradient all-reduces ride ICI within a host
+# and DCN across hosts.
+#
+# A runnable 2-process localhost demo of the full sharded PPO train step
+# is tests/test_multihost.py (CPU, gloo): the cluster's value_loss must
+# match the single-process run bit-for-tolerance.
+
+set -euo pipefail
+
+BOOT=$(mktemp -d)
+cat > "$BOOT/sitecustomize.py" <<'PY'
+import os
+
+coord = os.environ.get("GYMO_COORD")
+if coord:
+    from gymothelloenv_tpu.parallel import multihost
+    multihost.initialize(coord,
+                         int(os.environ["GYMO_NPROCS"]),
+                         int(os.environ["GYMO_PROC_ID"]))
+PY
+
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+PYTHONPATH="$BOOT:$REPO${PYTHONPATH:+:$PYTHONPATH}" exec "$@"

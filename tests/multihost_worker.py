@@ -3,29 +3,65 @@
 Each invocation is one "host" of a 2-process jax.distributed cluster
 (gloo over localhost, 4 virtual CPU devices per process = 8 global).
 Exercises the real multihost path (parallel/multihost.py): cluster
-handshake, global pod mesh, host-local -> global batch assembly, and a
-jitted loss gradient over the globally-sharded batch where GSPMD inserts
-the cross-process reduction (the DCN gradient all-reduce of the DP
-learner).
+handshake, global pod mesh, host-local -> global batch assembly, a jitted
+gradient over the globally-sharded batch, and a FULL sharded PPO
+self-play train step (collect + GAE + minibatch epochs) where GSPMD
+inserts the cross-process (DCN-role) reductions.
+
+Module-level code stays import-safe: tests/test_multihost.py imports
+``ppo_full_step`` to compute the single-process reference value the
+2-process cluster must reproduce.
 """
 
-import os
-import sys
 
-pid = int(sys.argv[1])
-port = sys.argv[2]
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+def ppo_full_step(mesh, num_envs: int = 8, num_steps: int = 4) -> float:
+    """One full sharded PPO train step on ``mesh``; returns value_loss.
 
-import numpy as np                                     # noqa: E402
-import jax                                             # noqa: E402
-import jax.numpy as jnp                                # noqa: E402
-from jax.sharding import PartitionSpec as P            # noqa: E402
+    Inputs are process-replicated (same seeds everywhere); the train step
+    itself re-shards via its internal constraints, so the identical
+    global program runs on a single-process mesh or a multi-process pod
+    mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-from gymothelloenv_tpu.parallel import multihost       # noqa: E402
+    from gymothelloenv_tpu.agents.ppo import PPOConfig, make_optimizer
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.parallel.dp import make_sharded_train_step
+    from gymothelloenv_tpu.train.ppo_trainer import (make_apply_fn,
+                                                     make_network)
+    from gymothelloenv_tpu.train.self_play import selfplay_init
+
+    env_cfg = EnvConfig(num_disk_as_reward=True)
+    ppo_cfg = PPOConfig(num_updates=10)
+    net = make_network(env_cfg)
+    apply_fn = make_apply_fn(net)
+    optimizer = make_optimizer(ppo_cfg)
+
+    key = jax.random.PRNGKey(0)
+    params = net.init(key, jnp.zeros((1, 4, 8, 8)))
+    opt_state = optimizer.init(params)
+    train_step, _, _ = make_sharded_train_step(
+        mesh, apply_fn, optimizer, env_cfg, ppo_cfg, num_steps,
+        params_example=params, donate=False)
+
+    sp_state = jax.jit(
+        selfplay_init, static_argnames=("apply_fn", "cfg", "num_envs",
+                                        "init_rand_steps"))(
+        params, apply_fn=apply_fn, key=key, cfg=env_cfg,
+        num_envs=num_envs)
+    _, _, _, metrics = train_step(params, opt_state, sp_state, key)
+    return float(np.asarray(metrics["value_loss"].addressable_data(0)))
 
 
-def main():
+def main(pid: int, port: str):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from gymothelloenv_tpu.parallel import multihost
+
     multihost.initialize(f"localhost:{port}", 2, pid)
     assert jax.process_count() == 2, jax.process_count()
     mesh = multihost.make_pod_mesh()
@@ -54,8 +90,20 @@ def main():
     g_val = float(np.asarray(g.addressable_data(0))[0])
     expect = float(2.0 * np.mean(np.arange(GLOBAL, dtype=np.float64) ** 2))
     assert abs(g_val - expect) < 1e-3, (g_val, expect)
-    print(f"OK proc{pid} sum={got} grad={g_val}", flush=True)
+
+    # Full sharded PPO train step across the 2-process cluster.
+    value_loss = ppo_full_step(mesh)
+    assert np.isfinite(value_loss), value_loss
+    print(f"OK proc{pid} sum={got} grad={g_val} "
+          f"ppo_value_loss={value_loss:.6f}", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import sys
+
+    _pid = int(sys.argv[1])
+    _port = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    main(_pid, _port)
