@@ -37,6 +37,14 @@ def main(argv=None):
     parser.add_argument("--agent-plays-white", action="store_true")
     parser.add_argument("--deterministic", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--live-html", type=str, default="",
+                        help="write a self-refreshing HTML board view to "
+                             "this path after every move (open it in a "
+                             "browser) — the live render loop the "
+                             "reference's broken pyglet window was for")
+    parser.add_argument("--move-delay", type=float, default=0.0,
+                        help="seconds to sleep between moves (watchable "
+                             "pacing for --live-html)")
     args, _ = parser.parse_known_args(argv)
 
     cfg = EnvConfig(board_size=args.board_size)
@@ -59,10 +67,28 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     rng = np.random.RandomState(args.seed)
 
+    log: list = []
+
+    def render_live(done=False, extra=""):
+        if not args.live_html:
+            return
+        from gymothelloenv_tpu.utils.render import save_live_html
+        lines = ([extra] if extra else []) + log[-12:][::-1]
+        save_live_html(args.live_html, env.env.board_state,
+                       env.possible_moves if not done else (),
+                       env.player_turn, lines, done=done)
+        if args.move_delay:
+            import time as _time
+            _time.sleep(args.move_delay)
+
+    if args.live_html:
+        print(f"live board view: open {args.live_html} in a browser")
+
     for ep in range(args.episodes):
         env.reset()
         opp.reset(env)
         done = False
+        render_live()
         while not done:
             env.render(mode="np_array")
             if env.player_turn == agent_color:
@@ -82,10 +108,16 @@ def main(argv=None):
             else:
                 action = int(opp.get_action(env.env.get_observation()))
                 print(f"{args.opponent} plays {action}")
+            mover = ("agent" if env.player_turn == agent_color
+                     else args.opponent)
             _, reward, done, _ = env.step(action)
+            log.append(f"{mover} plays {action}")
+            render_live(done=done)
         env.render(mode="np_array")
         outcome = reward if env.player_turn == agent_color else -reward
         print(f"episode {ep + 1}: agent reward {outcome}")
+        render_live(done=True,
+                    extra=f"episode {ep + 1}: agent reward {outcome}")
 
 
 if __name__ == "__main__":

@@ -41,6 +41,10 @@ def main(argv=None):
     parser.add_argument("--load", type=str, default="")
     parser.add_argument("--log-dir", type=str, default="")
     parser.add_argument("--log-every", type=int, default=10)
+    parser.add_argument("--vecnorm-reward", action="store_true",
+                        help="live VecNormalize reward filter (the "
+                             "rebuilt vendored vec-env stack) before the "
+                             "MC-return update")
     args, _ = parser.parse_known_args(argv)
 
     env_cfg = EnvConfig(board_size=args.board_size, num_disk_as_reward=True)
@@ -52,7 +56,8 @@ def main(argv=None):
         init_rand_steps=args.init_rand_steps,
         test_init_rand_steps=args.test_init_rand_steps,
         num_test_games=args.num_test_games,
-        test_interval=args.test_interval, seed=args.seed)
+        test_interval=args.test_interval, seed=args.seed,
+        vecnorm_reward=args.vecnorm_reward)
 
     logger = MetricsLogger(args.log_dir) if args.log_dir else None
     trainer = SimplePPOSelfPlayTrainer(

@@ -17,6 +17,8 @@ from gymothelloenv_tpu.agents.simple_ppo import (SimplePPOConfig,
                                                  simple_ppo_update)
 from gymothelloenv_tpu.core.featurize import make_state
 from gymothelloenv_tpu.core.state import EnvConfig
+from gymothelloenv_tpu.envs.vec_wrappers import (vecnorm_init,
+                                                 vecnorm_reward)
 from gymothelloenv_tpu.models.distributions import MaskedCategorical
 from gymothelloenv_tpu.models.nets import ActorCriticNet
 from gymothelloenv_tpu.policies.scripted import (greedy_policy,
@@ -39,6 +41,11 @@ class SimpleSelfPlayConfig:
     test_interval: int = 50        # updates (reference: 2500 episodes)
     save_interval: int = 200
     seed: int = 0
+    # Live VecNormalize reward filter (envs/vec_wrappers.py — the rebuilt
+    # vendored a2c_ppo_acktr/envs.py:185-205 stack, dead in the reference
+    # snapshot): scale rewards by the running std of the per-env
+    # discounted return before the MC-return update.  Off = parity.
+    vecnorm_reward: bool = False
 
 
 class SimplePPOSelfPlayTrainer:
@@ -68,27 +75,43 @@ class SimplePPOSelfPlayTrainer:
         self.opt_state = self.optimizer.init(self.params)
         self.update_count = 0
         self.sp_state = None
+        self.vecnorm = vecnorm_init((), self.run_cfg.num_envs,
+                                    gamma=self.ppo_cfg.gamma)
 
         env_cfg_, ppo_cfg_, run_cfg_ = (self.env_cfg, self.ppo_cfg,
                                         self.run_cfg)
         optimizer = self.optimizer
 
-        def train_step(params, opt_state, sp_state, key):
+        use_vecnorm = self.run_cfg.vecnorm_reward
+
+        def train_step(params, opt_state, sp_state, vn_state, key):
             sp_state, rollout, _ = collect_rollout(
                 params, apply_fn, sp_state, env_cfg_, run_cfg_.num_steps,
                 run_cfg_.init_rand_steps, logp_mode="full")
+            episodes = rollout.done.sum()
+            raw_return = (rollout.reward.sum()
+                          / jnp.maximum(episodes, 1))
+            if use_vecnorm:
+                # Thread the (T, N) reward stream through the live
+                # VecNormalize filter in collection order.
+                def vn_step(vn, rd):
+                    vn, norm_r = vecnorm_reward(vn, rd[0], rd[1])
+                    return vn, norm_r
+
+                vn_state, norm_rewards = jax.lax.scan(
+                    vn_step, vn_state, (rollout.reward, rollout.done))
+                rollout = rollout.replace(reward=norm_rewards)
             params, opt_state, loss = simple_ppo_update(
                 params, opt_state, rollout, key, apply_fn, optimizer,
                 ppo_cfg_)
             metrics = {
                 "loss": loss,
-                "episode_return": (rollout.reward.sum()
-                                   / jnp.maximum(rollout.done.sum(), 1)),
-                "episodes": rollout.done.sum(),
+                "episode_return": raw_return,
+                "episodes": episodes,
             }
-            return params, opt_state, sp_state, metrics
+            return params, opt_state, sp_state, vn_state, metrics
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
 
         def eval_step(params, key):
             def net_act(k, state):
@@ -130,9 +153,9 @@ class SimplePPOSelfPlayTrainer:
         done_steps = 0
         for u in range(num_updates):
             self.key, k = jax.random.split(self.key)
-            self.params, self.opt_state, self.sp_state, metrics = \
-                self._train_step(self.params, self.opt_state,
-                                 self.sp_state, k)
+            (self.params, self.opt_state, self.sp_state, self.vecnorm,
+             metrics) = self._train_step(self.params, self.opt_state,
+                                         self.sp_state, self.vecnorm, k)
             self.update_count += 1
             done_steps += self.run_cfg.num_envs * self.run_cfg.num_steps
             if (u + 1) % log_every == 0 or u == num_updates - 1:

@@ -58,3 +58,40 @@ def save_board_svg(path: str, board, legal_actions=(),
                    player_turn=-1) -> None:
     with open(path, "w") as f:
         f.write(board_svg(board, legal_actions, player_turn))
+
+
+def live_html(board, legal_actions=(), player_turn=-1,
+              status_lines=(), refresh: float = 1.0,
+              done: bool = False) -> str:
+    """Self-refreshing HTML page showing the current board — the live
+    interactive board view superseding the reference's broken pyglet
+    window (othello.py:503-597): the driver rewrites one file per move
+    and the browser polls it via <meta http-equiv=refresh>."""
+    svg = board_svg(board, legal_actions, player_turn)
+    meta = ("" if done else
+            f'<meta http-equiv="refresh" content="{refresh}">')
+    status = "".join(f"<div>{line}</div>" for line in status_lines)
+    mover = "white" if player_turn == 1 else "black"
+    return (
+        "<!DOCTYPE html><html><head>"
+        '<meta charset="utf-8">'
+        f"{meta}<title>gymothelloenv_tpu live board</title>"
+        "<style>body{font-family:monospace;background:#222;color:#eee;"
+        "display:flex;flex-direction:column;align-items:center;"
+        "gap:12px;padding:20px}</style></head><body>"
+        f"<div>{'game over' if done else f'{mover} to move'}</div>"
+        f"{svg}{status}</body></html>")
+
+
+def save_live_html(path: str, board, legal_actions=(), player_turn=-1,
+                   status_lines=(), refresh: float = 1.0,
+                   done: bool = False) -> None:
+    """Atomic rewrite (tmp+rename) so the polling browser never reads a
+    half-written page."""
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(live_html(board, legal_actions, player_turn,
+                          status_lines, refresh, done))
+    os.replace(tmp, path)

@@ -129,3 +129,18 @@ def test_enjoy_cli_plays_an_episode(tmp_path):
     assert "episode 1: agent reward" in out
     # The ASCII board rendered at least at start and end.
     assert out.count("W") + out.count("B") > 4
+
+
+def test_live_html_refresh_semantics():
+    import numpy as np
+
+    from gymothelloenv_tpu.utils.render import live_html
+
+    board = np.zeros((8, 8), int)
+    board[3, 3] = 1
+    live = live_html(board, legal_actions=[19], player_turn=-1,
+                     status_lines=["black plays 19"])
+    assert 'http-equiv="refresh"' in live
+    assert "black to move" in live and "black plays 19" in live
+    over = live_html(board, done=True)
+    assert "refresh" not in over and "game over" in over

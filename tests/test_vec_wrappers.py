@@ -208,3 +208,31 @@ def test_gae_time_limits_reduces_to_plain_gae():
         roll, jnp.zeros_like(roll.done), boot, cfg)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-6)
+
+
+def test_vecnorm_reward_live_trainer():
+    """The wrapper stack composed into a RUNNING trainer (not just numpy
+    replays): SimplePPOSelfPlayTrainer(vecnorm_reward=True) threads the
+    (T, N) reward stream through the live VecNormalize filter inside its
+    jitted train step."""
+    import jax
+
+    from gymothelloenv_tpu.agents.simple_ppo import SimplePPOConfig
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.simple_ppo_trainer import (
+        SimplePPOSelfPlayTrainer, SimpleSelfPlayConfig)
+
+    run_cfg = SimpleSelfPlayConfig(num_envs=8, num_steps=6,
+                                   test_interval=10_000,
+                                   vecnorm_reward=True)
+    ppo_cfg = SimplePPOConfig(k_epochs=2, batch_size=16)
+    tr = SimplePPOSelfPlayTrainer(env_cfg=EnvConfig(num_disk_as_reward=True),
+                                  ppo_cfg=ppo_cfg, run_cfg=run_cfg,
+                                  log_fn=lambda *a: None)
+    tr.train(3, log_every=100)
+    # The running return stats consumed every (T, N) reward batch.
+    count = float(tr.vecnorm.ret_rms.count)
+    assert abs(count - (1e-4 + 3 * 6 * 8)) < 1e-2, count
+    assert float(tr.vecnorm.ret_rms.var) > 0.0
+    assert all(jax.numpy.isfinite(x).all()
+               for x in jax.tree.leaves(tr.params))
