@@ -42,6 +42,10 @@ def main(argv=None):
     parser.add_argument("--init-rand-steps", type=int, default=0)
     parser.add_argument("--num-test-games", type=int, default=200)
     parser.add_argument("--test-interval", type=int, default=50)
+    parser.add_argument("--save-interval", type=int, default=200,
+                        help="chunks between checkpoint saves; a "
+                             "{step} placeholder in --checkpoint "
+                             "keeps one file per snapshot")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--checkpoint", type=str, default="")
     parser.add_argument("--load", type=str, default="")
@@ -69,7 +73,8 @@ def main(argv=None):
         opponent=args.opponent or None,
         init_rand_steps=args.init_rand_steps,
         num_test_games=args.num_test_games,
-        test_interval=args.test_interval, seed=args.seed)
+        test_interval=args.test_interval,
+        save_interval=args.save_interval, seed=args.seed)
 
     logger = MetricsLogger(args.log_dir) if args.log_dir else None
     trainer = RainbowTrainer(env_cfg=env_cfg, rainbow_cfg=rainbow_cfg,

@@ -454,9 +454,12 @@ class DQNTrainer:
                           {f"win%({k_})": v for k_, v in wins.items()})
             if checkpoint_path and \
                     self.chunk_count % self.run_cfg.save_interval == 0:
-                self.save(checkpoint_path)
+                # A {step} placeholder keeps one file per snapshot
+                # (post-hoc early stopping — the recipe RESULTS.md
+                # documents for self-play strength peaks).
+                self.save(checkpoint_path.format(step=self.chunk_count))
         if checkpoint_path:
-            self.save(checkpoint_path)
+            self.save(checkpoint_path.format(step=self.chunk_count))
 
     def evaluate(self):
         self.key, k = jax.random.split(self.key)
