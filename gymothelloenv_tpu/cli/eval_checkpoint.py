@@ -56,19 +56,35 @@ def main(argv=None):
         opp_path = opp_spec.removeprefix("ckpt:")
         opp_params, opp_apply, opp_desc = load_eval_policy(opp_path, cfg)
         print(f"opponent checkpoint {opp_path} ({opp_desc})")
+        if getattr(opp_apply, "recurrent", False):
+            raise NotImplementedError(
+                "recurrent checkpoints are supported as the protagonist "
+                "(--load), not as the head-to-head opponent")
         opp = net_tournament_policy(opp_params, opp_apply)
     else:
         opp = policy_from_spec(opp_spec, cfg)
     n = args.games // 2
 
+    recurrent = getattr(apply_fn, "recurrent", False)
+
     @functools.partial(jax.jit, static_argnames=())
     def run(params, key):
-        net_act = net_tournament_policy(params, apply_fn)
         k1, k2 = jax.random.split(key)
-        as_black = play_games_impl(k1, cfg, net_act, opp, n,
-                                   args.init_rand_steps)
-        as_white = play_games_impl(k2, cfg, opp, net_act, n,
-                                   args.init_rand_steps)
+        if recurrent:
+            from gymothelloenv_tpu.train.ppo_trainer import (
+                play_games_recurrent)
+            as_black = play_games_recurrent(
+                k1, cfg, params, apply_fn, opp, n, -1,
+                args.init_rand_steps, apply_fn.hidden_size)
+            as_white = play_games_recurrent(
+                k2, cfg, params, apply_fn, opp, n, 1,
+                args.init_rand_steps, apply_fn.hidden_size)
+        else:
+            net_act = net_tournament_policy(params, apply_fn)
+            as_black = play_games_impl(k1, cfg, net_act, opp, n,
+                                       args.init_rand_steps)
+            as_white = play_games_impl(k2, cfg, opp, net_act, n,
+                                       args.init_rand_steps)
         wins = (as_black == -1).sum() + (as_white == 1).sum()
         draws = (as_black == 0).sum() + (as_white == 0).sum()
         return wins, draws

@@ -170,14 +170,29 @@ def load_eval_policy(path: str, cfg: EnvConfig):
     trunk = raw_params["params"]["ConvTrunk_0"]
     width_mult = int(trunk["Conv_0"]["kernel"].shape[-1]) // 32
     hidden_size = int(raw_params["params"]["Dense_0"]["kernel"].shape[-1])
-    net = make_network(cfg, hidden_size=hidden_size, width_mult=width_mult)
+    recurrent = "GRUCore_0" in raw_params["params"]
+    net = make_network(cfg, recurrent=recurrent, hidden_size=hidden_size,
+                       width_mult=width_mult)
     dummy = jnp.zeros((1, 4, cfg.board_size, cfg.board_size))
-    template = jax.eval_shape(lambda k: net.init(k, dummy),
-                              jax.random.PRNGKey(0))
+    if recurrent:
+        template = jax.eval_shape(
+            lambda k: net.init(k, dummy, jnp.zeros((1, hidden_size)),
+                               jnp.ones((1,))),
+            jax.random.PRNGKey(0))
+        apply_fn = make_apply_fn_recurrent(net)
+    else:
+        template = jax.eval_shape(lambda k: net.init(k, dummy),
+                                  jax.random.PRNGKey(0))
+        apply_fn = make_apply_fn(net)
+    # Callers that can thread hidden state branch on these attributes
+    # (cli/eval_checkpoint uses play_games_recurrent when set).
+    apply_fn.recurrent = recurrent
+    apply_fn.hidden_size = hidden_size
     params = serialization.from_state_dict(template, raw_params)
     extra = ("" if width_mult == 1 and hidden_size == 512 else
              f", width_mult={width_mult}, hidden={hidden_size}")
-    return params, make_apply_fn(net), f"step {step}{extra}"
+    extra += ", recurrent" if recurrent else ""
+    return params, apply_fn, f"step {step}{extra}"
 
 
 def net_tournament_policy(params, apply_fn):
