@@ -10,3 +10,8 @@ from gymothelloenv_tpu.parallel.sharding import (  # noqa: F401
     shard_batch_tree,
 )
 from gymothelloenv_tpu.parallel.dp import make_sharded_train_step  # noqa: F401
+from gymothelloenv_tpu.parallel.replay_shards import (  # noqa: F401
+    global_size,
+    sharded_sample,
+    sharded_update_priorities,
+)

@@ -1,0 +1,98 @@
+"""Per-shard prioritized replay — the scale-out alternative to the
+replicated-replay design the sharded trainers default to (see
+docs/DESIGN.md §6 for the decision).
+
+Layout: every device owns a private ring (`agents.replay.Replay`) holding
+only transitions its own env shard collected — capacity scales with the
+mesh and inserts are local.  Sampling still follows the GLOBAL
+prioritized distribution (the reference Memory's semantics, dqn.py:23-69)
+via a two-stage scheme with static shapes and one tiny collective per
+batch:
+
+  1. *owner draw* (identical on every shard — shared key): for each of
+     the ``batch`` slots, draw the owning shard from
+     ``Categorical(P_1, ..., P_S)`` where ``P_s`` is shard s's priority
+     total (an ``all_gather`` of S floats).
+  2. *local candidate draw* (per-shard key): every shard samples
+     ``batch`` candidates from its OWN prioritized ring (the same
+     stratified proportional sampler the single-device path uses).
+  3. *assembly*: slot j's row is the owner's candidate — a masked
+     ``psum`` over the shard axis (each shard contributes its candidate
+     rows where it owns the slot, zeros elsewhere).
+
+Marginal correctness: P(slot j yields transition i on shard s)
+= P(owner_j = s) * P(s's candidate_j = i) = (P_s / P) * (p_i / P_s)
+= p_i / P — exactly the global proportional distribution, independent of
+how transitions are distributed across shards.  (Within a shard the
+candidates are stratified like the reference's segments; across shards
+the allocation is multinomial — tests/test_replay_shards.py checks the
+empirical marginals against the single-device sampler.)
+
+Priority refresh: TD errors are computed from the assembled batch
+(replicated after the psum), so every shard sees all ``batch`` errors and
+scatters updates only at the slots it owns.
+
+All functions here run INSIDE ``shard_map`` (they use
+``jax.lax.axis_index`` / collectives over ``axis_name``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gymothelloenv_tpu.agents.replay import (Replay, ReplayConfig,
+                                             replay_sample_idx,
+                                             replay_update_priorities)
+
+
+def _local_priority_total(rb: Replay, cfg: ReplayConfig) -> jnp.ndarray:
+    """This shard's sampling weight: priority mass (prioritized) or live
+    size (uniform)."""
+    if not cfg.prioritized:
+        return rb.size.astype(jnp.float32)
+    C = cfg.capacity
+    live = jnp.arange(C) < rb.size
+    return jnp.where(live, rb.priority[:C], 0.0).sum()
+
+
+def sharded_sample(rb: Replay, cfg: ReplayConfig, key: jax.Array,
+                   batch: int, axis_name: str = "data"):
+    """Sample ``batch`` packed rows from the GLOBAL distribution over all
+    shards' rings.  Returns ``(rows (batch, row_bytes) — identical on
+    every shard, local_idx (batch,), owned (batch,) bool)``.
+
+    ``key`` must be the SAME on every shard (fold your per-shard streams
+    elsewhere); the owner draw uses it directly, the local candidate draw
+    folds in the shard index.
+    """
+    shard = jax.lax.axis_index(axis_name)
+    k_owner, k_local = jax.random.split(key)
+
+    totals = jax.lax.all_gather(_local_priority_total(rb, cfg), axis_name)
+    logits = jnp.log(jnp.maximum(totals, 1e-30))
+    owner = jax.random.categorical(k_owner, logits, shape=(batch,))
+    owned = owner == shard
+
+    idx = replay_sample_idx(rb, cfg, jax.random.fold_in(k_local, shard),
+                            batch)
+    rows = rb.data[idx]
+    rows = jnp.where(owned[:, None], rows, 0).astype(jnp.uint32)
+    rows = jax.lax.psum(rows, axis_name).astype(jnp.uint8)
+    return rows, idx, owned
+
+
+def sharded_update_priorities(rb: Replay, cfg: ReplayConfig,
+                              idx: jnp.ndarray, owned: jnp.ndarray,
+                              errors: jnp.ndarray) -> Replay:
+    """PER refresh for the slots this shard owns.  ``errors`` is the full
+    (batch,) TD/KL vector (replicated after the psum-assembled batch);
+    non-owned slots route to the scratch row ``capacity`` (never sampled,
+    same trick as masked inserts)."""
+    safe_idx = jnp.where(owned, idx, cfg.capacity)
+    return replay_update_priorities(rb, cfg, safe_idx, errors)
+
+
+def global_size(rb: Replay, axis_name: str = "data") -> jnp.ndarray:
+    """Total live transitions across shards (inside shard_map)."""
+    return jax.lax.psum(rb.size, axis_name)
