@@ -47,6 +47,13 @@ def main(argv=None):
     parser.add_argument("--init-rand-steps", type=int, default=0)
     parser.add_argument("--num-test-games", type=int, default=200)
     parser.add_argument("--test-interval", type=int, default=50)
+    parser.add_argument("--opponent-pool", type=int, default=0,
+                        help="league-lite: >0 plays the non-learning "
+                             "color greedily from a random frozen "
+                             "snapshot of the last K pool entries "
+                             "(0 = shared mirror self-play)")
+    parser.add_argument("--pool-interval", type=int, default=100,
+                        help="chunks between pool snapshots")
     parser.add_argument("--save-interval", type=int, default=200,
                         help="chunks between checkpoint saves; a "
                              "{step} placeholder in --checkpoint "
@@ -73,6 +80,8 @@ def main(argv=None):
         num_envs=args.num_envs, chunk_plies=args.chunk_plies,
         opponent=args.opponent or None,
         init_rand_steps=args.init_rand_steps,
+        opponent_pool=args.opponent_pool,
+        pool_interval=args.pool_interval,
         num_test_games=args.num_test_games,
         test_interval=args.test_interval,
         save_interval=args.save_interval, seed=args.seed)

@@ -26,6 +26,7 @@ points.  ``DQNRunConfig.force_plane`` keeps the plane engine for A/B.
 from __future__ import annotations
 
 import dataclasses
+import random as pyrandom
 import time
 from typing import Optional
 
@@ -63,6 +64,15 @@ class DQNRunConfig:
     save_interval: int = 200
     seed: int = 0
     force_plane: bool = False      # keep the plane engine on 8x8 (A/B)
+    # League-lite for value-based self-play (mirrors the PPO trainer's
+    # opponent pool): when > 0, self-play mode plays the NON-learning
+    # color greedily from a frozen snapshot drawn from the last K pool
+    # entries (pushed every pool_interval chunks) instead of the live
+    # net.  Motivation: shared mirror self-play collapses replay
+    # diversity late in training (RESULTS.md round-2 Rainbow run decays
+    # from its chunk-200-300 peak).  0 = reference-parity self-play.
+    opponent_pool: int = 0
+    pool_interval: int = 100       # chunks between pool snapshots
 
 
 @struct.dataclass
@@ -122,6 +132,8 @@ class DQNTrainer:
         self.replay = replay_init(self.rb_cfg)
         self.roll: DQNRollState = None
         self.chunk_count = 0
+        self.pool: list = []
+        self._pool_rng = pyrandom.Random(self.run_cfg.seed)
 
         self._build_steps()
 
@@ -147,6 +159,12 @@ class DQNTrainer:
                                self.apply_fn, self.optimizer, key,
                                mesh=self.mesh)
 
+    def _opponent_greedy(self, params, board, turn, legal):
+        """Batched greedy action from a frozen snapshot (opponent-pool
+        mode)."""
+        q = self.apply_fn(params, featurize3(board, turn))
+        return greedy_legal_action(q, legal)
+
     def _eval_act(self, params, key, state):
         """epsilon=0.05 greedy eval action (get_action_at_test,
         dqn.py:478-488)."""
@@ -168,7 +186,11 @@ class DQNTrainer:
         N = run_cfg.num_envs
         B = env_cfg.board_size
         n_step = dqn_cfg.n_step
-        selfplay = run_cfg.opponent is None
+        use_pool = (run_cfg.opponent_pool > 0
+                    and run_cfg.opponent is None)
+        # Pool mode reuses the vs-opponent machinery (pcolor learner
+        # masking); the opponent is a frozen snapshot, not a script.
+        selfplay = run_cfg.opponent is None and not use_pool
         opponent = run_cfg.opponent
         eng = get_engine(env_cfg, run_cfg.force_plane)
 
@@ -222,7 +244,7 @@ class DQNTrainer:
                 full(next_board), full(next_turn),
                 full(done_flag), do)
 
-        def make_ply(params, eps):
+        def make_ply(params, snap_params, eps):
             def ply(carry, _):
                 roll, key = carry
                 key, k_act, k_opp = jax.random.split(key, 3)
@@ -254,9 +276,14 @@ class DQNTrainer:
                 if selfplay:
                     actions = learner_actions
                 else:
-                    scripted = scripted_act(env, jax.random.split(k_opp, N))
+                    if use_pool:
+                        opp_actions = self._opponent_greedy(
+                            snap_params, board, turn, legal)
+                    else:
+                        opp_actions = scripted_act(
+                            env, jax.random.split(k_opp, N))
                     actions = jnp.where(turn == roll.pcolor,
-                                        learner_actions, scripted)
+                                        learner_actions, opp_actions)
 
                 for c_idx, c_val in ((0, -1), (1, 1)):
                     mask = live & (turn == c_val) & learner_mask(
@@ -326,7 +353,7 @@ class DQNTrainer:
                 constrain_batch_axes)
 
         def train_chunk(agent: DQNState, replay: Replay,
-                        roll: DQNRollState, key):
+                        roll: DQNRollState, key, snap_params=None):
             if mesh is not None:
                 # Pin the batch layout: env leaves (N, ...), pending pairs
                 # (2, N, ...), n-step FIFO streams (k, 2N, ...) all shard
@@ -336,8 +363,8 @@ class DQNTrainer:
             key, k_collect, k_train = jax.random.split(key, 3)
             eps = self._epsilon(agent.t)
             (roll, _), em = jax.lax.scan(
-                make_ply(agent.params, eps), (roll, k_collect), None,
-                length=run_cfg.chunk_plies)
+                make_ply(agent.params, snap_params, eps),
+                (roll, k_collect), None, length=run_cfg.chunk_plies)
 
             # Flatten (T, 4, n, 2N, ...) emission slots -> (K, ...).
             def flat(x):
@@ -432,15 +459,31 @@ class DQNTrainer:
                 self.agent = place_replicated(self.agent, self.mesh)
                 self.replay = place_replicated(self.replay, self.mesh)
 
+    def _snapshot_params(self):
+        return jax.tree.map(lambda x: x.copy(), self.agent.params)
+
     def train(self, num_chunks: int, log_every: int = 10,
               checkpoint_path: str = None):
         self.ensure_initialized()
+        use_pool = (self.run_cfg.opponent_pool > 0
+                    and self.run_cfg.opponent is None)
         t0 = time.time()
         for c in range(num_chunks):
             self.key, k = jax.random.split(self.key)
+            snap = None
+            if use_pool:
+                if not self.pool:
+                    self.pool.append(self._snapshot_params())
+                snap = self.pool[self._pool_rng.randrange(len(self.pool))]
             self.agent, self.replay, self.roll, metrics = \
-                self._train_chunk(self.agent, self.replay, self.roll, k)
+                self._train_chunk(self.agent, self.replay, self.roll, k,
+                                  snap)
             self.chunk_count += 1
+            if use_pool and \
+                    self.chunk_count % self.run_cfg.pool_interval == 0:
+                self.pool.append(self._snapshot_params())
+                if len(self.pool) > self.run_cfg.opponent_pool:
+                    self.pool.pop(0)
             if (c + 1) % log_every == 0 or c == num_chunks - 1:
                 m = {k_: float(v) for k_, v in metrics.items()}
                 m["transitions_per_sec"] = float(metrics["transitions"]) \

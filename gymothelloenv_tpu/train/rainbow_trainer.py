@@ -73,6 +73,13 @@ class RainbowTrainer(DQNTrainer):
                                    self.rb_cfg, self.apply_fn,
                                    self.optimizer, key, mesh=self.mesh)
 
+    def _opponent_greedy(self, params, board, turn, legal):
+        """Frozen-snapshot opponent: greedy over the mean-weight
+        (noise-off) expected Q."""
+        log_p = self.apply_fn(params, featurize3(board, turn))
+        q = expected_q(log_p, self.dqn_cfg)
+        return greedy_legal_action(q, legal)
+
     def _eval_act(self, params, key, state):
         """Deterministic (mean-weight, noise off) greedy action."""
         del key

@@ -92,3 +92,30 @@ def test_dqn_bit_and_plane_collection_identical():
                            "next_board", "next_turn", "done")):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+def test_dqn_opponent_pool_mode():
+    """League-lite self-play: the non-learning color plays greedily from a
+    frozen snapshot; only the protagonist color feeds the replay."""
+    import jax
+    import numpy as np
+
+    from gymothelloenv_tpu.agents.dqn import DQNConfig
+    from gymothelloenv_tpu.agents.replay import ReplayConfig
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.dqn_trainer import (DQNRunConfig,
+                                                     DQNTrainer)
+
+    run_cfg = DQNRunConfig(num_envs=8, chunk_plies=8, opponent_pool=2,
+                           pool_interval=1, test_interval=10_000, seed=11)
+    dqn_cfg = DQNConfig(batch_size=8, initial_replay_size=1, n_step=2)
+    tr = DQNTrainer(EnvConfig(num_disk_as_reward=True), dqn_cfg,
+                    ReplayConfig(capacity=512), run_cfg,
+                    log_fn=lambda *a: None)
+    tr.train(num_chunks=3, log_every=100)
+    assert len(tr.pool) == 2          # trimmed to opponent_pool
+    # Pool mode emits ~one learner transition per ply (vs ~2 shared):
+    t = int(tr.agent.t)
+    assert 0 < t <= 3 * 8 * 8 + 16, t
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(tr.agent.params))
