@@ -7,7 +7,13 @@ Prints one JSON line per configuration:
 
     {"num_envs": N, "ms_per_step": ..., "trans_per_sec": ...}
 
-Usage: python scripts/bench_batch_scaling.py [--f32] [N ...]
+Usage: python scripts/bench_batch_scaling.py [--f32] [--epochs=K]
+       [--mini-batch=M] [N ...]
+
+Measured 2026-08-20 (RESULTS.md): throughput FALLS with N (4096: 60 ms =
+4.35M trans/s; 8192: 144 ms; 32768: 649 ms) — the update is already near
+compute-bound, so --epochs/--mini-batch (the PPO data-reuse schedule) is
+the remaining config lever, not batch size.
 """
 
 from __future__ import annotations
@@ -29,12 +35,18 @@ def main():
 
     argv = sys.argv[1:]
     bf16 = "--f32" not in argv
+    epochs = int(next((a.split("=", 1)[1] for a in argv
+                       if a.startswith("--epochs=")), 4))
+    mini_batch = int(next((a.split("=", 1)[1] for a in argv
+                           if a.startswith("--mini-batch=")), 4))
     sizes = [int(a) for a in argv if not a.startswith("--")] or \
         [4096, 8192, 16384]
 
     for num_envs in sizes:
         run_cfg = SelfPlayConfig(num_envs=num_envs, bf16=bf16)
-        tr = PPOSelfPlayTrainer(ppo_cfg=PPOConfig(num_updates=10_000),
+        tr = PPOSelfPlayTrainer(ppo_cfg=PPOConfig(num_updates=10_000,
+                                                  ppo_epochs=epochs,
+                                                  num_mini_batch=mini_batch),
                                 run_cfg=run_cfg, log_fn=lambda *a: None)
         tr.ensure_initialized()
         key = jax.random.PRNGKey(0)
@@ -59,6 +71,7 @@ def main():
         trans = run_cfg.num_steps * num_envs
         print(json.dumps({
             "num_envs": num_envs, "bf16": bf16,
+            "epochs": epochs, "mini_batch": mini_batch,
             "ms_per_step": round(dt * 1e3, 2),
             "trans_per_sec": round(trans / dt),
         }), flush=True)
