@@ -122,8 +122,10 @@ def dqn_act(params, apply_fn: Callable, board, turn, legal, key,
     q = apply_fn(params, featurize3(board, turn))
     greedy = greedy_legal_action(q, legal)
     rand_logits = jnp.where(legal, 0.0, -jnp.inf)
-    random = jax.vmap(jax.random.categorical)(
-        jax.random.split(k_rand, n), rand_logits).astype(jnp.int32)
+    # One batched categorical (independent rows from one key) — per-row
+    # vmapped keys cost a separate threefry stream per env.
+    random = jax.random.categorical(k_rand, rand_logits,
+                                    axis=-1).astype(jnp.int32)
     use_rand = jax.random.uniform(k_eps, (n,)) < epsilon
     return jnp.where(use_rand, random, greedy)
 

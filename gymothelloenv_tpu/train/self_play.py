@@ -77,13 +77,19 @@ def policy_sample(params, apply_fn: ApplyFn, eng, env, keys,
                    logp_mode: str = "masked"):
     """Sample masked actions; ``logp_mode`` picks which behaviour log-prob
     is recorded: 'masked' (vendored Policy.act, model.py:60-90) or 'full'
-    (the simple PPO stores full-softmax log-probs, ppo.py:309-310)."""
+    (the simple PPO stores full-softmax log-probs, ppo.py:309-310).
+
+    Sampling is ONE batched categorical from a single key (``keys[0]`` —
+    a fresh subkey each ply): per-row vmapped keys cost a separate tiny
+    threefry stream per env, which traced as the single most expensive
+    op of the whole collection scan (~5 of 14 device-ms at N=4096,
+    scripts/trace_collect.py); one key drives independent gumbels for
+    every row at a fraction of that."""
     obs = eng.featurize(env)
     legal = eng.legal_flat(env)
     logits, value, _ = apply_fn(params, obs)
     dist = MaskedCategorical(logits=logits, mask=legal)
-    action = jax.vmap(lambda d_logits, d_mask, k: MaskedCategorical(
-        logits=d_logits, mask=d_mask).sample(k))(logits, legal, keys)
+    action = dist.sample(keys[0])
     if logp_mode == "full":
         # One-hot select (exact), not take_along_axis — per-row gathers
         # carry a large fixed cost on TPU (see MaskedCategorical.log_prob).
@@ -96,10 +102,19 @@ def policy_sample(params, apply_fn: ApplyFn, eng, env, keys,
     return obs, legal, action, logp, value
 
 
-def masked_step(eng, env, rand_left, keys, actions, do, cfg: EnvConfig):
+def masked_step(eng, env, rand_left, keys, actions, do, cfg: EnvConfig,
+                rand_openings: bool = True):
     """Step games where ``do``; elsewhere unchanged.  Applies the
     random-opening override (othello.py:70-73) before stepping.
-    Returns (env, rand_left, keys)."""
+    Returns (env, rand_left, keys).
+
+    ``rand_openings=False`` (static) elides the override entirely — the
+    caller guarantees ``rand_left`` is all zeros (init_rand_steps == 0,
+    the training default), which removes a per-ply random-legal draw +
+    per-env key split from the scan."""
+    if not rand_openings:
+        env = eng.step_where(env, actions, do, cfg)
+        return env, rand_left, keys
     keys, sub = split_each(keys)
     use_rand = (rand_left > 0) & do
     rand_actions = eng.random_legal(sub, env)
@@ -110,7 +125,7 @@ def masked_step(eng, env, rand_left, keys, actions, do, cfg: EnvConfig):
 
 
 def advance_opponent(params, apply_fn, eng, env, rand_left, keys, pcolor,
-                      cfg: EnvConfig):
+                      cfg: EnvConfig, rand_openings: bool = True):
     """Step opponent-to-move games until every game is either terminated or
     at the protagonist's decision point (the worker's inner while loops,
     ppo_run_self_play.py:288-300, :326-343)."""
@@ -127,7 +142,8 @@ def advance_opponent(params, apply_fn, eng, env, rand_left, keys, pcolor,
         _, _, action, _, _ = policy_sample(params, apply_fn, eng, env,
                                             sample_keys)
         env, rand_left, keys = masked_step(eng, env, rand_left, keys,
-                                            action, needs(env), cfg)
+                                            action, needs(env), cfg,
+                                            rand_openings)
         return env, rand_left, keys
 
     return jax.lax.while_loop(cond, body, (env, rand_left, keys))
@@ -136,21 +152,26 @@ def advance_opponent(params, apply_fn, eng, env, rand_left, keys, pcolor,
 def reset_done(eng, env, rand_left, pcolor, keys, done, cfg: EnvConfig,
                 init_rand_steps: int):
     keys, sub = split_each(keys)
-    k_rand, k_color = split_each(sub)
     env = eng.reset_where(env, done, cfg)
-    new_rleft = jax.vmap(draw_max_rand_steps, in_axes=(0, None))(
-        k_rand, init_rand_steps)
-    rand_left = jnp.where(done, new_rleft, rand_left)
-    # protagonist = ±1 with p=1/2 (ppo_run_self_play.py:265-266)
-    new_color = jax.vmap(
-        lambda k: (jax.random.randint(k, (), 0, 2) * 2 - 1).astype(
-            jnp.int8))(k_color)
+    if init_rand_steps > 0:
+        k_rand, k_color = split_each(sub)
+        new_rleft = jax.vmap(draw_max_rand_steps, in_axes=(0, None))(
+            k_rand, init_rand_steps)
+        rand_left = jnp.where(done, new_rleft, rand_left)
+    else:
+        # No random openings: rand_left stays all-zero, no per-env draws.
+        k_color = sub
+    # protagonist = ±1 with p=1/2 (ppo_run_self_play.py:265-266); one
+    # batched draw from a single key (see policy_sample on why).
+    new_color = (jax.random.randint(k_color[0], done.shape, 0, 2) * 2
+                 - 1).astype(jnp.int8)
     pcolor = jnp.where(done, new_color, pcolor)
     return env, rand_left, pcolor, keys
 
 
 def protagonist_act(params, apply_fn, eng, env, rand_left, keys, cfg,
-                     logp_mode: str = "masked"):
+                     logp_mode: str = "masked",
+                     rand_openings: bool = True):
     """Phase C: sample the protagonist decision, step the env, return the
     new pending transition."""
     keys, sample_keys = split_each(keys)
@@ -158,7 +179,8 @@ def protagonist_act(params, apply_fn, eng, env, rand_left, keys, cfg,
         params, apply_fn, eng, env, sample_keys, logp_mode)
     num_envs = action.shape[0]
     env, rand_left, keys = masked_step(
-        eng, env, rand_left, keys, action, jnp.ones((num_envs,), bool), cfg)
+        eng, env, rand_left, keys, action, jnp.ones((num_envs,), bool),
+        cfg, rand_openings)
     pending = Pending(obs=obs.astype(jnp.int8), action=action, logp=logp,
                       value=value, legal=legal)
     return env, rand_left, keys, pending
@@ -179,18 +201,24 @@ def selfplay_init(params, apply_fn: ApplyFn, key: jax.Array,
     eng = get_engine(cfg, force_plane)
     if opp_params is None:
         opp_params = params
+    rand_openings = init_rand_steps > 0
     key, k_env, k_color, k_rand = jax.random.split(key, 4)
     env_keys = jax.random.split(k_env, num_envs)
     env = eng.reset_batch(num_envs, cfg)
-    rand_left = jax.vmap(draw_max_rand_steps, in_axes=(0, None))(
-        jax.random.split(k_rand, num_envs), init_rand_steps)
+    if rand_openings:
+        rand_left = jax.vmap(draw_max_rand_steps, in_axes=(0, None))(
+            jax.random.split(k_rand, num_envs), init_rand_steps)
+    else:
+        rand_left = jnp.zeros((num_envs,), jnp.int32)
     pcolor = (jax.random.randint(k_color, (num_envs,), 0, 2) * 2
               - 1).astype(jnp.int8)
 
     env, rand_left, env_keys = advance_opponent(
-        opp_params, apply_fn, eng, env, rand_left, env_keys, pcolor, cfg)
+        opp_params, apply_fn, eng, env, rand_left, env_keys, pcolor, cfg,
+        rand_openings)
     env, rand_left, env_keys, pending = protagonist_act(
-        params, apply_fn, eng, env, rand_left, env_keys, cfg, logp_mode)
+        params, apply_fn, eng, env, rand_left, env_keys, cfg, logp_mode,
+        rand_openings)
     return SelfPlayState(env=env, rand_left=rand_left, pcolor=pcolor,
                          env_keys=env_keys, pending=pending, key=key)
 
@@ -215,12 +243,15 @@ def collect_rollout(params, apply_fn: ApplyFn, sp: SelfPlayState,
     eng = get_engine(cfg, force_plane)
     if opp_params is None:
         opp_params = params
+    # Static: when training runs without random openings (the default),
+    # the whole rand_left machinery drops out of the compiled scan.
+    rand_openings = init_rand_steps > 0
 
     def slot(sp: SelfPlayState, _):
         # Phase A: opponent plies until protagonist turn or termination.
         env, rand_left, env_keys = advance_opponent(
             opp_params, apply_fn, eng, sp.env, sp.rand_left, sp.env_keys,
-            sp.pcolor, cfg)
+            sp.pcolor, cfg, rand_openings)
 
         # Emit the pending transition.
         done = env.terminated
@@ -237,11 +268,12 @@ def collect_rollout(params, apply_fn: ApplyFn, sp: SelfPlayState,
         # Phase B2: fresh white-protagonist games need black's reply first.
         env, rand_left, env_keys = advance_opponent(
             opp_params, apply_fn, eng, env, rand_left, env_keys, pcolor,
-            cfg)
+            cfg, rand_openings)
 
         # Phase C: protagonist decision becomes the new pending.
         env, rand_left, env_keys, pending = protagonist_act(
-            params, apply_fn, eng, env, rand_left, env_keys, cfg, logp_mode)
+            params, apply_fn, eng, env, rand_left, env_keys, cfg,
+            logp_mode, rand_openings)
 
         return SelfPlayState(env=env, rand_left=rand_left, pcolor=pcolor,
                              env_keys=env_keys, pending=pending,
@@ -299,9 +331,9 @@ def policy_sample_rec(params, apply_fn, eng, env, keys, h):
     legal = eng.legal_flat(env)
     logits, value, h_new = apply_fn(params, obs, h,
                                     jnp.ones(h.shape[:1], obs.dtype))
-    action = jax.vmap(lambda lg, m, k: MaskedCategorical(
-        logits=lg, mask=m).sample(k))(logits, legal, keys)
-    logp = MaskedCategorical(logits=logits, mask=legal).log_prob(action)
+    dist = MaskedCategorical(logits=logits, mask=legal)
+    action = dist.sample(keys[0])   # one batched categorical (see above)
+    logp = dist.log_prob(action)
     return obs, legal, action, logp, value, h_new
 
 

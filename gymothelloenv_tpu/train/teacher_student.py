@@ -93,9 +93,12 @@ def _decide(params, apply_fn, eng, env, keys):
     obs = eng.featurize(env)
     legal = eng.legal_flat(env)
     logits, value, _ = apply_fn(params, obs)
-    action = jax.vmap(lambda lg, m, k: MaskedCategorical(
-        logits=lg, mask=m).sample(k))(logits, legal, keys)
-    logp = MaskedCategorical(logits=logits, mask=legal).log_prob(action)
+    dist = MaskedCategorical(logits=logits, mask=legal)
+    # One batched categorical from a single key — per-row vmapped keys
+    # were the top cost of the collection scan (train/self_play.py
+    # policy_sample, scripts/trace_collect.py).
+    action = dist.sample(keys[0])
+    logp = dist.log_prob(action)
     return obs, action, logp, value, legal
 
 
