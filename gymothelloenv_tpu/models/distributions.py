@@ -46,7 +46,29 @@ class MaskedCategorical:
         return jnp.where(self.mask, self.logits, _NEG_INF)
 
     def sample(self, key: jax.Array) -> jnp.ndarray:
-        action = jax.random.categorical(key, self.masked_logits, axis=-1)
+        """Inverse-CDF categorical: one uniform per row against the
+        cumsum of unnormalized masked-softmax weights.
+
+        Same distribution as ``jax.random.categorical`` (exact inverse
+        transform), chosen for the TPU cost profile: gumbel-argmax needs
+        A random words per row plus a variadic (value, index) argmax
+        reduce, which traced as the single most expensive fusion of the
+        whole collection scan (~5 of 12.6 device-ms at N=4096,
+        scripts/trace_collect.py); this form needs ONE random word per
+        row and only max/sum/compare-count reduces, which fuse cleanly.
+
+        ``u`` is drawn in (0, 1] (1 - uniform[0,1)) so ``t = u * total``
+        is strictly positive — the count of ``cumsum < t`` then always
+        lands on a legal action (the cumsum increases only at legal
+        entries).  Empty legal rows fall back to action 0
+        (model.py:71-74)."""
+        ml = self.masked_logits
+        w = jnp.exp(ml - jax.lax.stop_gradient(ml).max(-1, keepdims=True))
+        w = jnp.where(self.mask, w, 0.0)
+        c = jnp.cumsum(w, axis=-1)
+        u = 1.0 - jax.random.uniform(key, ml.shape[:-1], dtype=c.dtype)
+        t = u[..., None] * c[..., -1:]
+        action = (c < t).sum(-1)
         return jnp.where(self.any_legal, action, 0).astype(jnp.int32)
 
     def mode(self) -> jnp.ndarray:
