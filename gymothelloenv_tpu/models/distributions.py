@@ -65,7 +65,12 @@ class MaskedCategorical:
         ml = self.masked_logits
         w = jnp.exp(ml - jax.lax.stop_gradient(ml).max(-1, keepdims=True))
         w = jnp.where(self.mask, w, 0.0)
-        c = jnp.cumsum(w, axis=-1)
+        # Row prefix-sum as a triangular matmul: jnp.cumsum lowers to a
+        # reduce-window (~1.8 device-ms/rollout at N=4096); an (A, A)
+        # ones-triangle on the MXU is ~free for A=64.
+        A = w.shape[-1]
+        tri = jnp.triu(jnp.ones((A, A), w.dtype))
+        c = w @ tri
         u = 1.0 - jax.random.uniform(key, ml.shape[:-1], dtype=c.dtype)
         t = u[..., None] * c[..., -1:]
         action = (c < t).sum(-1)

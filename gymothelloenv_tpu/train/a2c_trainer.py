@@ -22,11 +22,12 @@ from gymothelloenv_tpu.train.self_play import collect_rollout
 class A2CSelfPlayTrainer(PPOSelfPlayTrainer):
     def __init__(self, a2c_cfg: A2CConfig = None,
                  env_cfg: EnvConfig = None,
-                 run_cfg: SelfPlayConfig = None, log_fn=None):
+                 run_cfg: SelfPlayConfig = None, log_fn=None, mesh=None):
         self.a2c_cfg = a2c_cfg or A2CConfig()
         if run_cfg is None:
             run_cfg = SelfPlayConfig(num_steps=5)   # arguments.py default
-        super().__init__(env_cfg=env_cfg, run_cfg=run_cfg, log_fn=log_fn)
+        super().__init__(env_cfg=env_cfg, run_cfg=run_cfg, log_fn=log_fn,
+                         mesh=mesh)
         if self.run_cfg.recurrent:
             raise ValueError("recurrent policies are PPO-only (use PPOSelfPlayTrainer)")
 
@@ -39,12 +40,23 @@ class A2CSelfPlayTrainer(PPOSelfPlayTrainer):
         a2c_cfg_ = self.a2c_cfg
         apply_fn = self.apply_fn
         optimizer = self.optimizer
+        N_ = self.run_cfg.num_envs
+        if mesh is not None:
+            from gymothelloenv_tpu.parallel.sharding import (
+                constrain_batch, constrain_batch_axes)
 
         def train_step(params, opt_state, sp_state, key):
             del key   # A2C has no minibatch shuffle
+            if mesh is not None:
+                sp_state = constrain_batch_axes(sp_state, mesh, (N_,))
             sp_state, rollout, bootstrap = collect_rollout(
                 params, apply_fn, sp_state, env_cfg_, run_cfg_.num_steps,
                 run_cfg_.init_rand_steps)
+            if mesh is not None:
+                rollout = constrain_batch(rollout, mesh, axis=1,
+                                          batch_size=N_)
+                bootstrap = constrain_batch(bootstrap, mesh, axis=0,
+                                            batch_size=N_)
             params, opt_state, metrics = a2c_update(
                 params, opt_state, rollout, bootstrap, apply_fn,
                 optimizer, a2c_cfg_)

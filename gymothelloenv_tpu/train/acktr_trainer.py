@@ -59,11 +59,12 @@ class ACKTRSelfPlayTrainer(PPOSelfPlayTrainer):
     def __init__(self, acktr_cfg: ACKTRConfig = None,
                  env_cfg: EnvConfig = None,
                  run_cfg: SelfPlayConfig = None, log_fn=None,
-                 net: str = "mlp"):
+                 net: str = "mlp", mesh=None):
         self.acktr_cfg = acktr_cfg or ACKTRConfig()
         if run_cfg is None:
             run_cfg = SelfPlayConfig(num_steps=5)   # arguments.py default
-        super().__init__(env_cfg=env_cfg, run_cfg=run_cfg, log_fn=log_fn)
+        super().__init__(env_cfg=env_cfg, run_cfg=run_cfg, log_fn=log_fn,
+                         mesh=mesh)
         if self.run_cfg.recurrent:
             raise ValueError("recurrent policies are PPO-only (use PPOSelfPlayTrainer)")
 
@@ -89,10 +90,25 @@ class ACKTRSelfPlayTrainer(PPOSelfPlayTrainer):
         apply_fn = self.apply_fn
         a2c_cfg = A2CConfig(gamma=acktr_cfg.gamma)
 
+        mesh = self.mesh
+        N_ = self.run_cfg.num_envs
+        if mesh is not None:
+            from gymothelloenv_tpu.parallel.sharding import (
+                constrain_batch, constrain_batch_axes)
+
         def train_step(agent, sp_state, key):
+            if mesh is not None:
+                sp_state = constrain_batch_axes(sp_state, mesh, (N_,))
             sp_state, rollout, bootstrap = collect_rollout(
                 agent, apply_fn, sp_state, env_cfg, run_cfg.num_steps,
                 run_cfg.init_rand_steps)
+            if mesh is not None:
+                # Batch shards over 'data'; K-FAC factor stats reduce
+                # across shards via GSPMD, eigendecomps stay replicated.
+                rollout = constrain_batch(rollout, mesh, axis=1,
+                                          batch_size=N_)
+                bootstrap = constrain_batch(bootstrap, mesh, axis=0,
+                                            batch_size=N_)
             returns = a2c_returns(rollout, bootstrap, a2c_cfg)
             T, N = rollout.reward.shape
             flat = jax.tree.map(

@@ -45,7 +45,7 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
 
     def __init__(self, expert_path: str, gail_cfg: GAILConfig = None,
                  gail_run: GAILRunConfig = None, **kw):
-        super().__init__(**kw)
+        super().__init__(**kw)   # mesh= passes through to the base class
         if self.run_cfg.recurrent:
             raise ValueError("recurrent policies are PPO-only (use PPOSelfPlayTrainer)")
         self.gail_run = gail_run or GAILRunConfig()
@@ -69,6 +69,11 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
         gail_cfg = self.gail_cfg
         apply_fn = self.apply_fn
         optimizer = self.optimizer
+        mesh = self.mesh
+        N_ = self.run_cfg.num_envs
+        if mesh is not None:
+            from gymothelloenv_tpu.parallel.sharding import (
+                constrain_batch, constrain_batch_axes)
 
         def gail_train_step(params, opt_state, gail_state, sp_state,
                             last_done, expert_sa, key):
@@ -77,9 +82,16 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
             ended on the PREVIOUS chunk's final slot (resets the
             discounted-return accumulator across chunk boundaries)."""
             k_disc, k_ppo = jax.random.split(key)
+            if mesh is not None:
+                sp_state = constrain_batch_axes(sp_state, mesh, (N_,))
             sp_state, rollout, bootstrap = collect_rollout(
                 params, apply_fn, sp_state, env_cfg, run_cfg.num_steps,
                 run_cfg.init_rand_steps)
+            if mesh is not None:
+                rollout = constrain_batch(rollout, mesh, axis=1,
+                                          batch_size=N_)
+                bootstrap = constrain_batch(bootstrap, mesh, axis=0,
+                                            batch_size=N_)
             T, N = rollout.reward.shape
             obs_flat = rollout.obs.astype(jnp.float32).reshape(T * N, -1)
             onehot = jax.nn.one_hot(rollout.action.reshape(-1),

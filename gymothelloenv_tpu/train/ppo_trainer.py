@@ -208,14 +208,21 @@ def net_tournament_policy(params, apply_fn):
 
 
 class PPOSelfPlayTrainer:
+    """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis — the
+    game batch and every (T, N) rollout leaf shard over 'data' and the
+    whole step runs as one GSPMD program with replicated params (the
+    tensor-parallel variant lives in parallel/dp.py).  1-vs-8-device
+    parity: tests/test_sharded_trainers.py."""
+
     def __init__(self, env_cfg: EnvConfig = None,
                  ppo_cfg: PPOConfig = None,
                  run_cfg: SelfPlayConfig = None,
-                 log_fn: Optional[Callable] = None):
+                 log_fn: Optional[Callable] = None, mesh=None):
         self.env_cfg = env_cfg or EnvConfig(num_disk_as_reward=True)
         self.ppo_cfg = ppo_cfg or PPOConfig()
         self.run_cfg = run_cfg or SelfPlayConfig()
         self.log_fn = log_fn
+        self.mesh = mesh
         if self.run_cfg.opponent_pool > 0 and self.run_cfg.pool_interval < 1:
             raise ValueError(
                 f"pool_interval must be >= 1 when opponent_pool is on "
@@ -257,14 +264,26 @@ class PPOSelfPlayTrainer:
         optimizer = self.optimizer
 
         use_pool = run_cfg_.opponent_pool > 0
+        mesh = self.mesh
+        if mesh is not None:
+            from gymothelloenv_tpu.parallel.sharding import (
+                constrain_batch, constrain_batch_axes)
+        N_ = self.run_cfg.num_envs
 
         def train_step(params, opt_state, sp_state, key, opp_params=None):
+            if mesh is not None:
+                sp_state = constrain_batch_axes(sp_state, mesh, (N_,))
             if recurrent:
                 sp_state, rollout, h0, masks, bootstrap = \
                     collect_rollout_recurrent(
                         params, apply_fn, sp_state, env_cfg_,
                         run_cfg_.num_steps, run_cfg_.init_rand_steps,
                         opp_params=opp_params)
+                if mesh is not None:
+                    rollout, masks = constrain_batch(
+                        (rollout, masks), mesh, axis=1, batch_size=N_)
+                    h0, bootstrap = constrain_batch(
+                        (h0, bootstrap), mesh, axis=0, batch_size=N_)
                 params, opt_state, metrics = ppo_update_recurrent(
                     params, opt_state, rollout, h0, masks, bootstrap,
                     key, apply_fn, optimizer, ppo_cfg_)
@@ -273,6 +292,11 @@ class PPOSelfPlayTrainer:
                     params, apply_fn, sp_state, env_cfg_,
                     run_cfg_.num_steps, run_cfg_.init_rand_steps,
                     opp_params=opp_params)
+                if mesh is not None:
+                    rollout = constrain_batch(rollout, mesh, axis=1,
+                                              batch_size=N_)
+                    bootstrap = constrain_batch(bootstrap, mesh, axis=0,
+                                                batch_size=N_)
                 params, opt_state, metrics = ppo_update(
                     params, opt_state, rollout, bootstrap, key, apply_fn,
                     optimizer, ppo_cfg_)
@@ -331,6 +355,11 @@ class PPOSelfPlayTrainer:
         if self.sp_state is None:
             self.key, k = jax.random.split(self.key)
             kwargs = {}
+            if self.mesh is not None:
+                from gymothelloenv_tpu.parallel.sharding import (
+                    place_replicated)
+                self.params, self.opt_state = place_replicated(
+                    (self.params, self.opt_state), self.mesh)
             if self.run_cfg.opponent_pool > 0:
                 # Keep the pool invariant (the non-learning color is a
                 # frozen snapshot) from the very first opponent ply.
@@ -357,6 +386,13 @@ class PPOSelfPlayTrainer:
                     cfg=self.env_cfg, num_envs=self.run_cfg.num_envs,
                     init_rand_steps=self.run_cfg.init_rand_steps,
                     **kwargs)
+            if self.mesh is not None:
+                from gymothelloenv_tpu.parallel.sharding import (
+                    shard_batch_axes)
+                self.sp_state = jax.device_put(
+                    self.sp_state,
+                    shard_batch_axes(self.mesh, self.sp_state,
+                                     (self.run_cfg.num_envs,)))
 
     def _snapshot_params(self):
         return jax.tree.map(lambda x: x.copy(), self.params)

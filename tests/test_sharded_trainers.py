@@ -103,3 +103,99 @@ def test_teacher_student_sharded_parity():
     sh.train(num_chunks=2, log_every=100)
     _assert_tree_close(ref.params_s, sh.params_s)
     _assert_tree_close(ref.params_t, sh.params_t)
+
+
+def test_ppo_trainer_class_sharded_parity():
+    """The flagship trainer class itself takes mesh= (replicated-params
+    GSPMD; the TP variant is parallel/dp.py)."""
+    from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
+                                                     SelfPlayConfig)
+
+    def build(mesh):
+        run_cfg = SelfPlayConfig(num_envs=N_ENVS, num_steps=4,
+                                 test_interval=10_000, hidden_size=64)
+        ppo_cfg = PPOConfig(ppo_epochs=2, num_mini_batch=2, num_updates=4)
+        return PPOSelfPlayTrainer(EnvConfig(num_disk_as_reward=True),
+                                  ppo_cfg, run_cfg,
+                                  log_fn=lambda *a: None, mesh=mesh)
+
+    ref = build(make_mesh(1))
+    ref.train(2, log_every=100)
+    sh = build(make_mesh(8))
+    sh.train(2, log_every=100)
+    _assert_tree_close(ref.params, sh.params)
+
+
+def test_a2c_sharded_parity():
+    from gymothelloenv_tpu.agents.a2c import A2CConfig
+    from gymothelloenv_tpu.train.a2c_trainer import A2CSelfPlayTrainer
+    from gymothelloenv_tpu.train.ppo_trainer import SelfPlayConfig
+
+    def build(mesh):
+        run_cfg = SelfPlayConfig(num_envs=N_ENVS, num_steps=5,
+                                 test_interval=10_000, hidden_size=64)
+        return A2CSelfPlayTrainer(A2CConfig(), run_cfg=run_cfg,
+                                  env_cfg=EnvConfig(num_disk_as_reward=True),
+                                  log_fn=lambda *a: None, mesh=mesh)
+
+    ref = build(make_mesh(1))
+    ref.train(2, log_every=100)
+    sh = build(make_mesh(8))
+    sh.train(2, log_every=100)
+    _assert_tree_close(ref.params, sh.params)
+
+
+def test_gail_sharded_parity(tmp_path):
+    import numpy as np
+
+    from gymothelloenv_tpu.train.gail_trainer import (GAILPPOTrainer,
+                                                      GAILRunConfig)
+    from gymothelloenv_tpu.train.ppo_trainer import SelfPlayConfig
+
+    # Tiny synthetic expert npz: 4 trajectories x 16 plies of random
+    # plane states + actions.
+    rng = np.random.RandomState(0)
+    expert = tmp_path / "expert.npz"
+    np.savez(expert,
+             states=rng.randint(0, 2, (4, 16, 4, 8, 8)).astype(np.float32),
+             actions=rng.randint(0, 64, (4, 16, 1)),
+             lengths=np.full((4,), 16, np.int64))
+
+    def build(mesh):
+        run_cfg = SelfPlayConfig(num_envs=N_ENVS, num_steps=4,
+                                 test_interval=10_000, hidden_size=64)
+        ppo_cfg = PPOConfig(ppo_epochs=2, num_mini_batch=2, num_updates=4)
+        return GAILPPOTrainer(
+            str(expert), gail_run=GAILRunConfig(gail_epoch=2,
+                                                gail_batch_size=16,
+                                                num_trajectories=4,
+                                                subsample_frequency=2),
+            env_cfg=EnvConfig(num_disk_as_reward=True), ppo_cfg=ppo_cfg,
+            run_cfg=run_cfg, log_fn=lambda *a: None, mesh=mesh)
+
+    ref = build(make_mesh(1))
+    ref.train(2, log_every=100)
+    sh = build(make_mesh(8))
+    sh.train(2, log_every=100)
+    _assert_tree_close(ref.params, sh.params)
+
+
+def test_acktr_sharded_runs():
+    """ACKTR under a mesh: K-FAC eigendecompositions are reassociation-
+    sensitive, so this gate checks the sharded step runs and stays finite
+    (strict 1-vs-8 parity is asserted for every other family above)."""
+    import numpy as np
+
+    from gymothelloenv_tpu.agents.kfac import ACKTRConfig
+    from gymothelloenv_tpu.train.acktr_trainer import ACKTRSelfPlayTrainer
+    from gymothelloenv_tpu.train.ppo_trainer import SelfPlayConfig
+
+    run_cfg = SelfPlayConfig(num_envs=N_ENVS, num_steps=5,
+                             test_interval=10_000)
+    tr = ACKTRSelfPlayTrainer(ACKTRConfig(),
+                              env_cfg=EnvConfig(num_disk_as_reward=True),
+                              run_cfg=run_cfg, log_fn=lambda *a: None,
+                              mesh=make_mesh(8))
+    tr.train(2, log_every=100)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(tr.params))
