@@ -59,6 +59,10 @@ def main(argv=None):
                              "self-play)")
     parser.add_argument("--pool-interval", type=int, default=250,
                         help="updates between pool snapshots")
+    parser.add_argument("--chain-updates", type=int, default=1,
+                        help="scan K train steps per jitted dispatch "
+                             "(amortizes ~4ms/step tunnel overhead; "
+                             "eval/save cadence quantizes to K)")
     parser.add_argument("--recurrent", action="store_true",
                         help="GRU-recurrent policy (model.py:230-285 "
                              "rebuilt; hidden state threaded through "
@@ -86,7 +90,8 @@ def main(argv=None):
         save_interval=args.save_interval, seed=args.seed,
         bf16=args.bf16, hidden_size=args.hidden_size,
         width_mult=args.width_mult, opponent_pool=args.opponent_pool,
-        pool_interval=args.pool_interval, recurrent=args.recurrent)
+        pool_interval=args.pool_interval, recurrent=args.recurrent,
+        chain_updates=args.chain_updates)
 
     logger = MetricsLogger(args.log_dir) if args.log_dir else None
     trainer = PPOSelfPlayTrainer(

@@ -63,6 +63,12 @@ class SelfPlayConfig:
     # actions here, algo/ppo.py:44-46).  num_envs must divide by
     # PPOConfig.num_mini_batch (env-subset minibatches).
     recurrent: bool = False
+    # Scan this many train steps inside ONE jitted program — amortizes
+    # the per-dispatch host/tunnel overhead (~4 ms/step on the axon
+    # backend) for sustained-throughput runs.  Logging/eval/checkpoint
+    # cadence quantizes to the chain length; incompatible with
+    # opponent_pool (the pool re-draws a snapshot per update on host).
+    chain_updates: int = 1
 
 
 def make_network(cfg: EnvConfig, recurrent: bool = False,
@@ -306,9 +312,28 @@ class PPOSelfPlayTrainer:
             metrics["episodes"] = rollout.done.sum()
             return params, opt_state, sp_state, metrics
 
+        chain = self.run_cfg.chain_updates
+        if chain > 1 and use_pool:
+            raise ValueError("chain_updates > 1 is incompatible with "
+                             "opponent_pool (snapshots re-draw per "
+                             "update on host)")
         if use_pool:
             self._train_step = jax.jit(train_step,
                                        donate_argnums=(0, 1, 2))
+        elif chain > 1:
+            def chained(params, opt_state, sp_state, key):
+                def body(carry, k):
+                    p, o, s = carry
+                    p, o, s, m = train_step(p, o, s, k)
+                    return (p, o, s), m
+
+                (params, opt_state, sp_state), ms = jax.lax.scan(
+                    body, (params, opt_state, sp_state),
+                    jax.random.split(key, chain))
+                return (params, opt_state, sp_state,
+                        jax.tree.map(lambda x: x[-1], ms))
+
+            self._train_step = jax.jit(chained, donate_argnums=(0, 1, 2))
         else:
             self._train_step = jax.jit(
                 lambda p, o, s, k: train_step(p, o, s, k),
@@ -426,27 +451,35 @@ class PPOSelfPlayTrainer:
         self.ensure_initialized()
         t0 = time.time()
         steps_done = 0
-        for u in range(num_updates):
+        chain = max(1, self.run_cfg.chain_updates)
+
+        def crossed(interval):
+            return (self.update_count // interval) > \
+                ((self.update_count - chain) // interval)
+
+        done_iters = 0
+        for u in range(0, num_updates, chain):
             self.key, k = jax.random.split(self.key)
             metrics = self._do_update(k)
-            self.update_count += 1
-            steps_done += self.run_cfg.num_steps * self.run_cfg.num_envs
+            self.update_count += chain
+            done_iters += 1
+            steps_done += (self.run_cfg.num_steps * self.run_cfg.num_envs
+                           * chain)
 
-            if (u + 1) % log_every == 0 or u == num_updates - 1:
+            if done_iters % log_every == 0 or u + chain >= num_updates:
                 metrics = {k_: float(v) for k_, v in metrics.items()}
                 dt = time.time() - t0
                 metrics["transitions_per_sec"] = steps_done / dt
                 self._log(self.update_count, metrics)
 
-            if (self.update_count % self.run_cfg.test_interval == 0):
+            if crossed(self.run_cfg.test_interval):
                 self.key, k = jax.random.split(self.key)
                 wins = {k_: float(v)
                         for k_, v in self._eval_step(self.params, k).items()}
                 self._log(self.update_count,
                           {f"win%({k_})": v for k_, v in wins.items()})
 
-            if checkpoint_path and (
-                    self.update_count % self.run_cfg.save_interval == 0):
+            if checkpoint_path and crossed(self.run_cfg.save_interval):
                 self.save(checkpoint_path.format(step=self.update_count))
         if checkpoint_path:
             self.save(checkpoint_path.format(step=self.update_count))

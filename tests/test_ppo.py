@@ -373,3 +373,34 @@ def test_eval_checkpoint_head_to_head(tmp_path):
     w, d, l = map(int, m.groups())
     assert w + d + l == 16
     assert 0 < w < 16 and 0 < l < 16
+
+
+def test_chain_updates_mode():
+    """chain_updates scans K train steps per jitted dispatch; cadence
+    (eval/save) quantizes to interval crossings."""
+    import jax
+    import numpy as np
+
+    from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
+                                                     SelfPlayConfig)
+
+    logged = []
+    run_cfg = SelfPlayConfig(num_envs=8, num_steps=4, chain_updates=2,
+                             num_test_games=4, test_interval=4,
+                             hidden_size=64)
+    tr = PPOSelfPlayTrainer(
+        ppo_cfg=PPOConfig(ppo_epochs=2, num_mini_batch=2, num_updates=8),
+        run_cfg=run_cfg, log_fn=lambda step, m: logged.append((step, m)))
+    tr.train(8, log_every=1)
+    assert tr.update_count == 8
+    # interval-crossing eval fired at updates 4 and 8
+    evals = [s for s, m in logged if any("win%" in k for k in m)]
+    assert evals == [4, 8], evals
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(tr.params))
+
+    # pool + chaining is rejected
+    import pytest
+    with pytest.raises(ValueError, match="chain_updates"):
+        PPOSelfPlayTrainer(run_cfg=SelfPlayConfig(
+            num_envs=8, chain_updates=2, opponent_pool=2))
