@@ -156,6 +156,10 @@ def collect_ts_rollout(params_t, params_s, apply_fn, ts: TSState,
     """
     N = ts.tcolor.shape[0]
     eng = get_engine(cfg, force_plane)
+    # Static: drops the random-opening override (and its per-ply key
+    # splits) out of the compiled scan when unused (see
+    # self_play.masked_step).
+    ro = init_rand_steps > 0
 
     def student_ply(env, rand_left, env_keys, tcolor, pending_s):
         """One student ply where it's the student's turn: emit the previous
@@ -169,7 +173,7 @@ def collect_ts_rollout(params_t, params_s, apply_fn, ts: TSState,
         pending_s = _set_pending(pending_s, turn_now, obs, action, logp,
                                  value, legal)
         env, rand_left, env_keys = masked_step(
-            eng, env, rand_left, env_keys, action, turn_now, cfg)
+            eng, env, rand_left, env_keys, action, turn_now, cfg, ro)
         return env, rand_left, env_keys, pending_s, (rec, w)
 
     def slot(carry, _):
@@ -219,7 +223,7 @@ def collect_ts_rollout(params_t, params_s, apply_fn, ts: TSState,
         pending_t = _set_pending(pending_t, teacher_turn, obs, action,
                                  logp, value, legal)
         env, rand_left, env_keys = masked_step(
-            eng, env, rand_left, env_keys, action, teacher_turn, cfg)
+            eng, env, rand_left, env_keys, action, teacher_turn, cfg, ro)
 
         new_ts = TSState(env=env, rand_left=rand_left, env_keys=env_keys,
                          tcolor=tcolor, pending_t=pending_t,
