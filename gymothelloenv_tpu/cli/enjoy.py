@@ -51,7 +51,15 @@ def main(argv=None):
     from gymothelloenv_tpu.train.ppo_trainer import load_eval_policy
     params, apply_fn, desc = load_eval_policy(args.load, cfg)
     print(f"loaded {args.load} ({desc})")
-    forward = jax.jit(lambda p, x: apply_fn(p, x)[0])
+    recurrent = getattr(apply_fn, "recurrent", False)
+    if recurrent:
+        # GRU checkpoint: thread the hidden state across the agent's
+        # decisions (reset per episode), like the training collector.
+        forward_rec = jax.jit(
+            lambda p, x, h: apply_fn(p, x, h, jnp.ones((1,)))[::2])
+        h_state = jnp.zeros((1, apply_fn.hidden_size))
+    else:
+        forward = jax.jit(lambda p, x: apply_fn(p, x)[0])
 
     if args.opponent == "rand":
         opp = RandomPolicy(seed=args.seed)
@@ -88,12 +96,18 @@ def main(argv=None):
         env.reset()
         opp.reset(env)
         done = False
+        if recurrent:
+            h_state = jnp.zeros_like(h_state)
         render_live()
         while not done:
             env.render(mode="np_array")
             if env.player_turn == agent_color:
-                logits = np.asarray(forward(
-                    params, jnp.asarray(make_state4(env))[None])[0])
+                obs = jnp.asarray(make_state4(env))[None]
+                if recurrent:
+                    logits, h_state = forward_rec(params, obs, h_state)
+                    logits = np.asarray(logits[0])
+                else:
+                    logits = np.asarray(forward(params, obs)[0])
                 moves = env.possible_moves
                 mask = np.zeros(cfg.num_actions, bool)
                 mask[moves] = True

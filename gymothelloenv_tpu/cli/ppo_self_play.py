@@ -62,7 +62,8 @@ def main(argv=None):
     parser.add_argument("--chain-updates", type=int, default=1,
                         help="scan K train steps per jitted dispatch "
                              "(amortizes ~4ms/step tunnel overhead; "
-                             "eval/save cadence quantizes to K)")
+                             "eval/save cadence quantizes to K and the "
+                             "run length rounds UP to a multiple of K)")
     parser.add_argument("--recurrent", action="store_true",
                         help="GRU-recurrent policy (model.py:230-285 "
                              "rebuilt; hidden state threaded through "

@@ -77,11 +77,31 @@ go(0);
 def _net_policy(path: str, cfg: EnvConfig):
     """Policy from a checkpoint: .msgpack (this framework; capacity knobs
     inferred from stored shapes) or a reference torch .pth/.pt
-    (architecture auto-detected)."""
+    (architecture auto-detected).  Recurrent (GRU) checkpoints thread a
+    host-held hidden state across this replay's single game (the jitted
+    part is the forward; the carry lives in a closure cell, so the
+    policy must NOT be re-jitted — flagged via ``.prejitted``)."""
+    from gymothelloenv_tpu.core.featurize import make_state
+    from gymothelloenv_tpu.models.distributions import MaskedCategorical
     from gymothelloenv_tpu.train.ppo_trainer import (load_eval_policy,
                                                      net_tournament_policy)
     params, apply_fn, _ = load_eval_policy(path, cfg)
-    return net_tournament_policy(params, apply_fn)
+    if not getattr(apply_fn, "recurrent", False):
+        return net_tournament_policy(params, apply_fn)
+
+    import jax.numpy as jnp
+    fwd = jax.jit(
+        lambda p, x, h: apply_fn(p, x, h, jnp.ones((1,)))[::2])
+    sample = jax.jit(lambda lg, legal, k: MaskedCategorical(
+        logits=lg, mask=legal).sample(k))
+    cell = [jnp.zeros((1, apply_fn.hidden_size))]
+
+    def act(key, state):
+        logits, cell[0] = fwd(params, make_state(state)[None], cell[0])
+        return sample(logits[0], state.legal, key)
+
+    act.prejitted = True
+    return act
 
 
 def _policy(spec: str, cfg: EnvConfig):
@@ -91,7 +111,10 @@ def _policy(spec: str, cfg: EnvConfig):
         from gymothelloenv_tpu.cli.tournament import policy_from_spec
         pol = policy_from_spec(spec, cfg)
     # Per-move dispatch is host-driven here; eager policy code is
-    # pathologically slow through the TPU tunnel — always jit.
+    # pathologically slow through the TPU tunnel — always jit (except
+    # stateful recurrent policies, which jit their inner pieces).
+    if getattr(pol, "prejitted", False):
+        return pol
     return jax.jit(pol)
 
 

@@ -123,12 +123,17 @@ def _batch_axes_spec(leaf, sizes: Sequence[int]):
     """P(...) sharding the first axis whose extent matches one of
     ``sizes`` (tried in order, so put the primary batch size first — a
     (2, N, ...) pending-pair leaf must shard axis 1, not the structural
-    axis 0 even when ``2*N`` is also listed).  Key leaves and leaves with
-    no matching axis replicate (None → pass through unconstrained)."""
+    axis 0 even when ``2*N`` is also listed).  Only axes 0 and 1 are
+    candidates: every batch tree this serves (env leaves (N, ...),
+    pending pairs (2, N, ...), FIFO streams (k, 2N, ...)) carries its
+    batch there, and deeper axes are feature/board dims whose extents
+    can collide with a small ``N`` (e.g. N == board_size == 8 would
+    otherwise shard a board-row axis).  Key leaves and leaves with no
+    matching axis replicate (None → pass through unconstrained)."""
     if _is_key_leaf(leaf):
         return None
     for size in sizes:
-        for ax, extent in enumerate(leaf.shape):
+        for ax, extent in enumerate(leaf.shape[:2]):
             if extent == size:
                 spec = [None] * leaf.ndim
                 spec[ax] = "data"

@@ -66,8 +66,10 @@ class SelfPlayConfig:
     # Scan this many train steps inside ONE jitted program — amortizes
     # the per-dispatch host/tunnel overhead (~4 ms/step on the axon
     # backend) for sustained-throughput runs.  Logging/eval/checkpoint
-    # cadence quantizes to the chain length; incompatible with
-    # opponent_pool (the pool re-draws a snapshot per update on host).
+    # cadence quantizes to the chain length and ``train(num_updates)``
+    # rounds the total UP to a multiple of it (a shorter final chain
+    # would force a recompile); incompatible with opponent_pool (the
+    # pool re-draws a snapshot per update on host).
     chain_updates: int = 1
 
 
@@ -101,9 +103,11 @@ def play_games_recurrent(key, cfg: EnvConfig, params, apply_fn,
                          hidden_size: int = 512):
     """Eval games for a recurrent net vs a scripted ``(key, state) ->
     action`` policy, threading the net's GRU hidden per game.  The hidden
-    advances only on plies where the net's decision is actually executed
-    (its turn, game live, no random-opening override) — matching the
-    collector's decision-stream semantics.  Returns winners int8."""
+    advances on every live ply where it is the net's turn — INCLUDING
+    random-opening plies, because the training collector advances
+    ``h_prot`` on every protagonist decision (the random override
+    replaces the executed action, not the decision;
+    self_play._rec_protagonist_act).  Returns winners int8."""
     from gymothelloenv_tpu.core import state as core
     from gymothelloenv_tpu.policies.scripted import random_action
     from gymothelloenv_tpu.train.tournament import draw_max_rand_steps
@@ -137,7 +141,7 @@ def play_games_recurrent(key, cfg: EnvConfig, params, apply_fn,
         action = jnp.where(rand_left > 0, a_rand,
                            jnp.where(net_turn, a_net, a_opp))
         live = ~states.terminated
-        consumed = net_turn & live & (rand_left <= 0)
+        consumed = net_turn & live
         h = jnp.where(consumed[:, None], h_new, h)
 
         stepped = jax.vmap(core.step, in_axes=(0, 0, None))(

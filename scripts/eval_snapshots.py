@@ -55,10 +55,24 @@ def main(argv=None):
             print(f"step {step}: {path} missing, skipped")
             continue
         if run is None:
+            recurrent = getattr(apply_fn, "recurrent", False)
+
             @jax.jit
             def run(params, key):
-                net_act = net_tournament_policy(params, apply_fn)
                 k1, k2 = jax.random.split(key)
+                if recurrent:
+                    from gymothelloenv_tpu.train.ppo_trainer import (
+                        play_games_recurrent)
+                    as_black = play_games_recurrent(
+                        k1, cfg, params, apply_fn, opp, n, -1,
+                        args.init_rand_steps, apply_fn.hidden_size)
+                    as_white = play_games_recurrent(
+                        k2, cfg, params, apply_fn, opp, n, 1,
+                        args.init_rand_steps, apply_fn.hidden_size)
+                    wins = (as_black == -1).sum() + (as_white == 1).sum()
+                    draws = (as_black == 0).sum() + (as_white == 0).sum()
+                    return wins, draws
+                net_act = net_tournament_policy(params, apply_fn)
                 as_black = play_games_impl(k1, cfg, net_act, opp, n,
                                            args.init_rand_steps)
                 as_white = play_games_impl(k2, cfg, opp, net_act, n,

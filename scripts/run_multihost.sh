@@ -31,6 +31,20 @@ set -euo pipefail
 BOOT=$(mktemp -d)
 cat > "$BOOT/sitecustomize.py" <<'PY'
 import os
+import sys
+
+# Python imports only the FIRST sitecustomize on sys.path; this shim
+# shadows any platform one (e.g. a TPU-runtime bootstrap earlier on
+# PYTHONPATH), so chain-load it before doing our own init.
+_self_dir = os.path.dirname(os.path.abspath(__file__))
+for _p in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    if not _p or os.path.abspath(_p) == _self_dir:
+        continue
+    _cand = os.path.join(_p, "sitecustomize.py")
+    if os.path.exists(_cand):
+        import runpy
+        runpy.run_path(_cand)
+        break
 
 coord = os.environ.get("GYMO_COORD")
 if coord:

@@ -77,6 +77,10 @@ def main():
         if ref is None:
             continue
         n = bw + ww                       # decisive games
+        if n == 0:
+            print(f"    {pair[0]:>10} vs {pair[1]:<10} all draws "
+                  f"({d}), skipped")
+            continue
         p = bw / n
         lo, hi = wilson(p, n)
         rn = ref[0] + ref[2]
