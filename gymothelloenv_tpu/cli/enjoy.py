@@ -77,14 +77,19 @@ def main(argv=None):
 
     log: list = []
 
-    def render_live(done=False, extra=""):
+    def render_live(done=False, final=False, extra=""):
+        # ``done`` shows the episode's game-over page; only ``final``
+        # (last episode) drops the <meta refresh> tag so the browser
+        # stops polling — an episode-end page mid-run must keep
+        # refreshing or episodes 2..N would play invisibly.
         if not args.live_html:
             return
         from gymothelloenv_tpu.utils.render import save_live_html
         lines = ([extra] if extra else []) + log[-12:][::-1]
         save_live_html(args.live_html, env.env.board_state,
                        env.possible_moves if not done else (),
-                       env.player_turn, lines, done=done)
+                       env.player_turn, lines, done=done,
+                       keep_refreshing=not final)
         if args.move_delay:
             import time as _time
             _time.sleep(args.move_delay)
@@ -126,11 +131,11 @@ def main(argv=None):
                      else args.opponent)
             _, reward, done, _ = env.step(action)
             log.append(f"{mover} plays {action}")
-            render_live(done=done)
+            render_live(done=done, final=done and ep == args.episodes - 1)
         env.render(mode="np_array")
         outcome = reward if env.player_turn == agent_color else -reward
         print(f"episode {ep + 1}: agent reward {outcome}")
-        render_live(done=True,
+        render_live(done=True, final=ep == args.episodes - 1,
                     extra=f"episode {ep + 1}: agent reward {outcome}")
 
 

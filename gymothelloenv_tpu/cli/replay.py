@@ -135,6 +135,14 @@ def play_one_game(cfg: EnvConfig, black, white, key, init_rand_steps: int):
     while not bool(s.terminated) and ply < B ** 2 + 10:
         key, k = jax.random.split(key)
         if ply < rand_left:
+            # Stateful (recurrent) policies still see the overridden
+            # decision so their hidden advances through the opening —
+            # the same semantics play_games_recurrent uses in
+            # training/eval; the stateless policies' result is unused.
+            pol = black if int(s.turn) == -1 else white
+            if getattr(pol, "prejitted", False):
+                key, k_pol = jax.random.split(key)
+                pol(k_pol, s)
             a = jrand(k, s.legal)
             who = "random opening"
         else:

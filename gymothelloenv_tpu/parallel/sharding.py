@@ -16,6 +16,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def assert_tree_allclose(a, b, rtol=5e-3, atol=1e-5, name="tree",
+                         require_finite=False):
+    """1-vs-N-device parity gate comparator, shared by the
+    ``dryrun_multichip`` driver entry and tests/test_sharded_trainers.py
+    so the two gates can't drift: a sharded step is ONE GSPMD program and
+    must reproduce the single-device math to float-reassociation
+    tolerance."""
+    flat_a, _ = jax.tree.flatten(a)
+    flat_b, _ = jax.tree.flatten(b)
+    assert len(flat_a) == len(flat_b), name
+    for x, y in zip(flat_a, flat_b):
+        x, y = np.asarray(x), np.asarray(y)
+        if require_finite and not np.all(np.isfinite(y.astype(np.float64))):
+            raise AssertionError(f"{name}: non-finite values in sharded run")
+        np.testing.assert_allclose(x, y, rtol=rtol, atol=atol,
+                                   err_msg=f"{name}: 1-vs-N divergence")
+
+
 def make_mesh(n_devices: int | None = None,
               axis_names: Sequence[str] = ("data", "model"),
               model_parallel: int = 1) -> Mesh:

@@ -15,7 +15,8 @@ from gymothelloenv_tpu.agents.a2c import (A2CConfig, a2c_update,
                                           make_a2c_optimizer)
 from gymothelloenv_tpu.core.state import EnvConfig
 from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
-                                                 SelfPlayConfig)
+                                                 SelfPlayConfig,
+                                                 chain_train_steps)
 from gymothelloenv_tpu.train.self_play import collect_rollout
 
 
@@ -64,4 +65,10 @@ class A2CSelfPlayTrainer(PPOSelfPlayTrainer):
             metrics["episodes"] = rollout.done.sum()
             return params, opt_state, sp_state, metrics
 
+        # Honor chain_updates here too: the base train() loop strides by
+        # the chain length, so a single-update step would silently run
+        # 1/chain of the requested updates.
+        chain = self.run_cfg.chain_updates
+        if chain > 1:
+            train_step = chain_train_steps(train_step, chain)
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))

@@ -24,7 +24,8 @@ from gymothelloenv_tpu.models.distributions import MaskedCategorical
 from gymothelloenv_tpu.policies.scripted import (greedy_policy,
                                                  random_policy)
 from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
-                                                 SelfPlayConfig)
+                                                 SelfPlayConfig,
+                                                 chain_train_steps)
 from gymothelloenv_tpu.train.self_play import collect_rollout
 from gymothelloenv_tpu.train.tournament import play_games_impl
 
@@ -122,6 +123,10 @@ class ACKTRSelfPlayTrainer(PPOSelfPlayTrainer):
             metrics["episodes"] = rollout.done.sum()
             return agent, sp_state, metrics
 
+        # Honor chain_updates (the base train() loop strides by it).
+        chain = self.run_cfg.chain_updates
+        if chain > 1:
+            train_step = chain_train_steps(train_step, chain)
         self._acktr_step = jax.jit(train_step, donate_argnums=(0, 1))
 
         def eval_step(agent, key):

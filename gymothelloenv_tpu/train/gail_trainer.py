@@ -146,8 +146,30 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
             return (params, opt_state, gail_state, sp_state,
                     rollout.done[-1], metrics)
 
-        self._gail_train_step = jax.jit(gail_train_step,
-                                        donate_argnums=(0, 1, 2, 3))
+        # chain_updates: the base train() loop strides by the chain
+        # length, so the step must actually run that many updates.  The
+        # generic chain_train_steps wrapper doesn't fit here — every
+        # chained step needs its OWN host-sampled expert stack — so the
+        # scan also consumes a leading (chain, ...) expert axis.
+        chain = self._chain = max(1, self.run_cfg.chain_updates)
+        if chain > 1:
+            def chained(params, opt_state, gail_state, sp_state,
+                        last_done, expert_sa, key):
+                def body(c, inp):
+                    e_sa, k = inp
+                    out = gail_train_step(*c, e_sa, k)
+                    return tuple(out[:-1]), out[-1]
+
+                carry, ms = jax.lax.scan(
+                    body,
+                    (params, opt_state, gail_state, sp_state, last_done),
+                    (expert_sa, jax.random.split(key, chain)))
+                return (*carry, jax.tree.map(lambda x: x[-1], ms))
+
+            step = chained
+        else:
+            step = gail_train_step
+        self._gail_train_step = jax.jit(step, donate_argnums=(0, 1, 2, 3))
         self._last_done = jnp.zeros((self.run_cfg.num_envs,), bool)
 
     def _sample_expert(self) -> np.ndarray:
@@ -162,7 +184,11 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
         return np.stack(out)
 
     def _do_update(self, key):
-        expert_sa = jnp.asarray(self._sample_expert())
+        if self._chain > 1:
+            expert_sa = jnp.asarray(np.stack(
+                [self._sample_expert() for _ in range(self._chain)]))
+        else:
+            expert_sa = jnp.asarray(self._sample_expert())
         (self.params, self.opt_state, self.gail_state, self.sp_state,
          self._last_done, metrics) = self._gail_train_step(
             self.params, self.opt_state, self.gail_state, self.sp_state,

@@ -205,6 +205,31 @@ def load_eval_policy(path: str, cfg: EnvConfig):
     return params, apply_fn, f"step {step}{extra}"
 
 
+def chain_train_steps(step, chain: int):
+    """Scan ``chain`` invocations of a train step into one jittable call
+    (amortizes the per-dispatch tunnel overhead, RESULTS.md
+    "--chain-updates").
+
+    ``step``'s LAST positional argument must be a PRNG key and the last
+    element of its return tuple the metrics dict; everything else is the
+    scan carry.  The wrapper keeps the same signature (one key in,
+    split into per-step keys) and returns the FINAL iteration's metrics
+    — the ``train()`` loop logs once per chain.
+    """
+    def chained(*args):
+        *carry, key = args
+
+        def body(c, k):
+            out = step(*c, k)
+            return tuple(out[:-1]), out[-1]
+
+        carry, ms = jax.lax.scan(body, tuple(carry),
+                                 jax.random.split(key, chain))
+        return (*carry, jax.tree.map(lambda x: x[-1], ms))
+
+    return chained
+
+
 def net_tournament_policy(params, apply_fn):
     """Wrap the net as a tournament ``act(key, state)`` policy (sampling,
     like ``Policy.act`` served over pipes in rule_base_game,
@@ -325,19 +350,8 @@ class PPOSelfPlayTrainer:
             self._train_step = jax.jit(train_step,
                                        donate_argnums=(0, 1, 2))
         elif chain > 1:
-            def chained(params, opt_state, sp_state, key):
-                def body(carry, k):
-                    p, o, s = carry
-                    p, o, s, m = train_step(p, o, s, k)
-                    return (p, o, s), m
-
-                (params, opt_state, sp_state), ms = jax.lax.scan(
-                    body, (params, opt_state, sp_state),
-                    jax.random.split(key, chain))
-                return (params, opt_state, sp_state,
-                        jax.tree.map(lambda x: x[-1], ms))
-
-            self._train_step = jax.jit(chained, donate_argnums=(0, 1, 2))
+            self._train_step = jax.jit(chain_train_steps(train_step, chain),
+                                       donate_argnums=(0, 1, 2))
         else:
             self._train_step = jax.jit(
                 lambda p, o, s, k: train_step(p, o, s, k),

@@ -11,6 +11,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+from flax import serialization
 
 from gymothelloenv_tpu.agents.simple_ppo import (SimplePPOConfig,
                                                  make_simple_ppo_optimizer,
@@ -187,10 +188,20 @@ class SimplePPOSelfPlayTrainer:
             print(f"[update {step}] {text}", flush=True)
 
     def save(self, path: str):
+        # The live VecNormalize filter is training state: without it a
+        # resumed --vecnorm-reward run would restart the running return
+        # statistics and see a reward-scale discontinuity.
+        extra = {}
+        if self.run_cfg.vecnorm_reward:
+            extra["vecnorm"] = serialization.to_state_dict(
+                jax.device_get(self.vecnorm))
         save_checkpoint(path, self.update_count, self.params,
-                        self.opt_state)
+                        self.opt_state, extra=extra)
 
     def load(self, path: str):
-        step, self.params, self.opt_state, _ = load_checkpoint(
+        step, self.params, self.opt_state, extra = load_checkpoint(
             path, self.params, self.opt_state)
+        if extra.get("vecnorm"):
+            self.vecnorm = serialization.from_state_dict(
+                self.vecnorm, extra["vecnorm"])
         self.update_count = step

@@ -62,13 +62,17 @@ def save_board_svg(path: str, board, legal_actions=(),
 
 def live_html(board, legal_actions=(), player_turn=-1,
               status_lines=(), refresh: float = 1.0,
-              done: bool = False) -> str:
+              done: bool = False, keep_refreshing: bool = False) -> str:
     """Self-refreshing HTML page showing the current board — the live
     interactive board view superseding the reference's broken pyglet
     window (othello.py:503-597): the driver rewrites one file per move
-    and the browser polls it via <meta http-equiv=refresh>."""
+    and the browser polls it via <meta http-equiv=refresh>.
+
+    ``done`` shows the game-over caption; ``keep_refreshing`` keeps the
+    <meta refresh> tag on a done page (an episode end mid-run — the
+    browser must keep polling or later episodes play invisibly)."""
     svg = board_svg(board, legal_actions, player_turn)
-    meta = ("" if done else
+    meta = ("" if done and not keep_refreshing else
             f'<meta http-equiv="refresh" content="{refresh}">')
     status = "".join(f"<div>{line}</div>" for line in status_lines)
     mover = "white" if player_turn == 1 else "black"
@@ -85,7 +89,7 @@ def live_html(board, legal_actions=(), player_turn=-1,
 
 def save_live_html(path: str, board, legal_actions=(), player_turn=-1,
                    status_lines=(), refresh: float = 1.0,
-                   done: bool = False) -> None:
+                   done: bool = False, keep_refreshing: bool = False) -> None:
     """Atomic rewrite (tmp+rename) so the polling browser never reads a
     half-written page."""
     import os
@@ -93,5 +97,5 @@ def save_live_html(path: str, board, legal_actions=(), player_turn=-1,
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         f.write(live_html(board, legal_actions, player_turn,
-                          status_lines, refresh, done))
+                          status_lines, refresh, done, keep_refreshing))
     os.replace(tmp, path)

@@ -1,11 +1,17 @@
 #!/bin/bash
 # Multi-host launch recipe — one invocation per host of a pod slice.
 #
-# On Cloud TPU pods, jax.distributed auto-discovers the coordinator from
-# the metadata environment, so each host just runs the SAME command:
+# On Cloud TPU pods, each host just runs the SAME command:
 #
 #   bash scripts/run_multihost.sh python -m gymothelloenv_tpu.cli.ppo_self_play \
 #       --num-envs 8192 --num-updates 4000 ...
+#
+# The injected sitecustomize detects the pod environment (the TPU
+# runtime exports TPU_WORKER_HOSTNAMES on multi-host slices; export
+# GYMO_POD=1 to force it) and calls the no-argument
+# jax.distributed.initialize(), which auto-discovers the coordinator
+# from the metadata environment.  Without that call each host would
+# silently train its own independent copy.
 #
 # Elsewhere (e.g. CPU clusters, manual bring-up), export the cluster
 # coordinates first on every host:
@@ -52,6 +58,24 @@ if coord:
     multihost.initialize(coord,
                          int(os.environ["GYMO_NPROCS"]),
                          int(os.environ["GYMO_PROC_ID"]))
+elif (os.environ.get("GYMO_POD")
+      or os.environ.get("TPU_WORKER_HOSTNAMES")):
+    # Cloud TPU pod slice: the no-arg initialize auto-discovers the
+    # coordinator from the metadata environment.  multihost.initialize's
+    # no-arg form is deliberately a single-process no-op, so the pod
+    # path must call jax.distributed directly.  Fail LOUDLY if discovery
+    # fails — otherwise each host would silently train its own
+    # independent copy (exceptions raised here are swallowed into a
+    # one-line sitecustomize warning, so exit explicitly).
+    import jax
+    try:
+        jax.distributed.initialize()
+    except Exception as e:
+        sys.stderr.write(
+            f"run_multihost: pod jax.distributed.initialize() failed "
+            f"({e!r}); set GYMO_COORD/GYMO_NPROCS/GYMO_PROC_ID "
+            f"explicitly or unset GYMO_POD.\n")
+        raise SystemExit(1)
 PY
 
 REPO=$(cd "$(dirname "$0")/.." && pwd)

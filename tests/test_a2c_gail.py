@@ -233,3 +233,131 @@ def test_gail_trainer_resets_return_accumulator_at_chunk_boundary(
         outs[name] = (np.asarray(gs.ret_rms.mean),
                       float(metrics["gail_reward"]))
     assert not np.allclose(outs["carry"][0], outs["reset"][0])
+
+
+def test_chain_train_steps_wrapper_semantics():
+    """Generic chain wrapper: K sequential step applications, final
+    step's metrics returned, key split per step."""
+    from gymothelloenv_tpu.train.ppo_trainer import chain_train_steps
+
+    def step(x, key):
+        del key
+        return x + 1.0, {"x_before": x}
+
+    chained = chain_train_steps(step, 3)
+    out, m = chained(jnp.asarray(0.0), jax.random.PRNGKey(0))
+    assert float(out) == 3.0
+    assert float(m["x_before"]) == 2.0
+
+
+def test_a2c_chain_updates_runs_all_updates():
+    """chain_updates on the subclass trainers must actually run K
+    updates per dispatch (regression: the single-update subclass steps
+    silently trained 1/K of the requested updates while the base loop
+    strode by K)."""
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.a2c_trainer import A2CSelfPlayTrainer
+    from gymothelloenv_tpu.train.ppo_trainer import SelfPlayConfig
+
+    def mk(chain):
+        return A2CSelfPlayTrainer(
+            env_cfg=EnvConfig(num_disk_as_reward=True),
+            run_cfg=SelfPlayConfig(num_envs=8, num_steps=4,
+                                   num_test_games=4, test_interval=10**9,
+                                   chain_updates=chain, hidden_size=64),
+            log_fn=lambda step, m: None)
+
+    tr1, tr2 = mk(1), mk(2)
+    tr1.ensure_initialized()
+    tr2.ensure_initialized()
+    key = jax.random.PRNGKey(42)
+    ks = jax.random.split(key, 2)
+
+    p, o, s, _ = tr1._train_step(
+        *jax.tree.map(jnp.copy,
+                      (tr1.params, tr1.opt_state, tr1.sp_state)), ks[0])
+    p, o, s, m2 = tr1._train_step(p, o, s, ks[1])
+    pc, oc, sc, mc = tr2._train_step(
+        *jax.tree.map(jnp.copy,
+                      (tr2.params, tr2.opt_state, tr2.sp_state)), key)
+
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(pc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(mc["value_loss"]),
+                               float(m2["value_loss"]),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_gail_chain_updates_consume_per_step_expert_batches(tmp_path):
+    """GAIL's chained step scans a (chain, ...) expert stack so every
+    chained update sees its OWN host-sampled expert batches — two manual
+    single steps must equal one chain=2 dispatch."""
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.gail_trainer import (GAILPPOTrainer,
+                                                      GAILRunConfig)
+    from gymothelloenv_tpu.train.ppo_trainer import SelfPlayConfig
+
+    rng = np.random.RandomState(2)
+    K, T = 3, 16
+    np.savez(str(tmp_path / "e.npz"),
+             states=(rng.rand(K, T, 256) > 0.7).astype(np.float32),
+             actions=rng.randint(0, 64, (K, T)).astype(np.int64),
+             lengths=np.full(K, T, np.int64))
+
+    def mk(chain):
+        return GAILPPOTrainer(
+            expert_path=str(tmp_path / "e.npz"),
+            gail_run=GAILRunConfig(gail_epoch=1, gail_batch_size=8,
+                                   num_trajectories=2,
+                                   subsample_frequency=2),
+            env_cfg=EnvConfig(num_disk_as_reward=True),
+            run_cfg=SelfPlayConfig(num_envs=8, num_steps=4,
+                                   num_test_games=4, test_interval=10**9,
+                                   chain_updates=chain),
+            log_fn=lambda step, m: None)
+
+    tr1, tr2 = mk(1), mk(2)
+    tr1.ensure_initialized()
+    tr2.ensure_initialized()
+    e1 = jnp.asarray(tr1._sample_expert())
+    e2 = jnp.asarray(tr1._sample_expert())
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 2)
+
+    args = jax.tree.map(jnp.copy, (tr1.params, tr1.opt_state,
+                                   tr1.gail_state, tr1.sp_state))
+    p, o, g, s, ld, _ = tr1._gail_train_step(*args, tr1._last_done,
+                                             e1, ks[0])
+    p, o, g, s, ld, m2 = tr1._gail_train_step(p, o, g, s, ld, e2, ks[1])
+
+    argsc = jax.tree.map(jnp.copy, (tr2.params, tr2.opt_state,
+                                    tr2.gail_state, tr2.sp_state))
+    pc, oc, gc, sc, ldc, mc = tr2._gail_train_step(
+        *argsc, tr2._last_done, jnp.stack([e1, e2]), key)
+
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(pc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(ldc))
+    np.testing.assert_allclose(float(mc["disc_loss"]),
+                               float(m2["disc_loss"]),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_acktr_chain_updates_smoke():
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.acktr_trainer import ACKTRSelfPlayTrainer
+    from gymothelloenv_tpu.train.ppo_trainer import SelfPlayConfig
+
+    logs = []
+    tr = ACKTRSelfPlayTrainer(
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        run_cfg=SelfPlayConfig(num_envs=8, num_steps=4, num_test_games=4,
+                               test_interval=10**9, chain_updates=2),
+        log_fn=lambda step, m: logs.append(m))
+    tr.train(4, log_every=1)
+    assert tr.update_count == 4
+    assert len(logs) == 2          # one dispatch (and log) per chain
+    assert all(np.isfinite(jax.tree.leaves(tr.params)[0]).all()
+               for _ in (0,))

@@ -144,3 +144,62 @@ def test_live_html_refresh_semantics():
     assert "black to move" in live and "black plays 19" in live
     over = live_html(board, done=True)
     assert "refresh" not in over and "game over" in over
+
+
+def _load_script(name):
+    import importlib.util
+    import pathlib
+    path = pathlib.Path(__file__).resolve().parents[1] / "scripts" / name
+    spec = importlib.util.spec_from_file_location(name[:-3], path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_tournament_ci_parses_both_log_formats(tmp_path, monkeypatch):
+    """The CI comparator must keep parsing cli/tournament's per-pair lines
+    AND scripts/tournament_big.py's chunked variant (with the trailing
+    [time] field) — the n=1000 run's log flows through it verbatim."""
+    tci = _load_script("tournament_ci.py")
+    log = (
+        "      rand (B) vs greedy     (W):   380 /  10 /  610\n"
+        " maximin-3 (B) vs maximin-2 (W):   630 /  20 /  350   [ 42.17s]\n"
+        "noise line that should be ignored\n"
+    )
+    cells = {}
+    for m in tci.LINE.finditer(log):
+        b, w = m.group(1), m.group(2)
+        cells[(b, w)] = tuple(int(x) for x in m.group(3, 4, 5))
+    assert cells == {("rand", "greedy"): (380, 10, 610),
+                     ("maximin-3", "maximin-2"): (630, 20, 350)}
+
+    # Wilson interval sanity: contains p_hat, shrinks with n, stays in [0,1].
+    lo, hi = tci.wilson(0.38, 1000)
+    assert 0.0 <= lo < 0.38 < hi <= 1.0
+    lo2, hi2 = tci.wilson(0.38, 100)
+    assert hi2 - lo2 > hi - lo
+
+    # End-to-end main(): a log agreeing with the README at n=1000 reports
+    # every parsed cell as consistent.
+    f = tmp_path / "t.log"
+    f.write_text(log)
+    monkeypatch.setattr("sys.argv", ["tournament_ci.py", str(f)])
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        tci.main()
+    text = out.getvalue()
+    assert "2 cells consistent with README" in text
+    assert "***" not in text
+
+
+def test_tournament_ci_flags_inconsistent_cell(tmp_path, monkeypatch):
+    tci = _load_script("tournament_ci.py")
+    f = tmp_path / "t.log"
+    # README has rand-vs-greedy at .38 black-win; 600/1000 is a z>>1.96 miss.
+    f.write_text("rand (B) vs greedy (W): 600 / 10 / 390\n")
+    monkeypatch.setattr("sys.argv", ["tournament_ci.py", str(f)])
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        tci.main()
+    assert "1 outside" in out.getvalue()
+    assert "***" in out.getvalue()

@@ -22,6 +22,7 @@ from gymothelloenv_tpu.agents.replay import ReplayConfig
 from gymothelloenv_tpu.agents.ppo import PPOConfig
 from gymothelloenv_tpu.core.state import EnvConfig
 from gymothelloenv_tpu.parallel import make_mesh
+from gymothelloenv_tpu.parallel.sharding import assert_tree_allclose
 from gymothelloenv_tpu.train.dqn_trainer import DQNRunConfig, DQNTrainer
 from gymothelloenv_tpu.train.rainbow_trainer import RainbowTrainer
 from gymothelloenv_tpu.train.teacher_student import (TeacherStudentConfig,
@@ -30,13 +31,10 @@ from gymothelloenv_tpu.train.teacher_student import (TeacherStudentConfig,
 N_ENVS = 16
 
 
-def _assert_tree_close(a, b, rtol=5e-3, atol=1e-5):
-    flat_a, _ = jax.tree.flatten(a)
-    flat_b, _ = jax.tree.flatten(b)
-    assert len(flat_a) == len(flat_b)
-    for x, y in zip(flat_a, flat_b):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   rtol=rtol, atol=atol)
+def _assert_tree_close(a, b):
+    # Shared with the dryrun_multichip gate so the two parity
+    # comparators can't drift.
+    assert_tree_allclose(a, b, require_finite=True)
 
 
 def _dqn_trainer(mesh, prioritized):

@@ -236,3 +236,41 @@ def test_vecnorm_reward_live_trainer():
     assert float(tr.vecnorm.ret_rms.var) > 0.0
     assert all(jax.numpy.isfinite(x).all()
                for x in jax.tree.leaves(tr.params))
+
+
+def test_vecnorm_state_survives_save_load(tmp_path):
+    """The live VecNormalize filter is training state: a resumed
+    --vecnorm-reward run must restore the running return statistics
+    (regression: save()/load() dropped them, giving the first
+    post-resume updates a near-uninitialized reward scale)."""
+    import numpy as np
+
+    from gymothelloenv_tpu.agents.simple_ppo import SimplePPOConfig
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.simple_ppo_trainer import (
+        SimplePPOSelfPlayTrainer, SimpleSelfPlayConfig)
+
+    def mk():
+        return SimplePPOSelfPlayTrainer(
+            env_cfg=EnvConfig(num_disk_as_reward=True),
+            ppo_cfg=SimplePPOConfig(k_epochs=2, batch_size=16),
+            run_cfg=SimpleSelfPlayConfig(num_envs=8, num_steps=6,
+                                         test_interval=10_000,
+                                         vecnorm_reward=True),
+            log_fn=lambda *a: None)
+
+    tr = mk()
+    tr.train(2, log_every=100)
+    path = str(tmp_path / "vn.msgpack")
+    tr.save(path)
+
+    tr2 = mk()
+    assert float(tr2.vecnorm.ret_rms.count) < 1.0      # fresh
+    tr2.load(path)
+    np.testing.assert_allclose(float(tr2.vecnorm.ret_rms.count),
+                               float(tr.vecnorm.ret_rms.count))
+    np.testing.assert_allclose(float(tr2.vecnorm.ret_rms.var),
+                               float(tr.vecnorm.ret_rms.var), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(tr2.vecnorm.ret),
+                               np.asarray(tr.vecnorm.ret), rtol=1e-6)
+    assert tr2.update_count == tr.update_count
