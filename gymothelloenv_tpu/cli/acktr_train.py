@@ -29,6 +29,14 @@ def main(argv=None):
     parser.add_argument("--num-updates", type=int, default=2000)
     parser.add_argument("--lr", type=float, default=0.25)
     parser.add_argument("--kl-clip", type=float, default=0.001)
+    parser.add_argument("--entropy-coef", type=float, default=0.01,
+                        help="entropy bonus (kfac cfg; the round-2 run's "
+                             "entropy collapsed 2.4->0.01 by update 1500 "
+                             "— raise to keep self-play exploratory)")
+    parser.add_argument("--damping", type=float, default=1e-2)
+    parser.add_argument("--checkpoint", type=str, default="",
+                        help="msgpack path; may contain {step}")
+    parser.add_argument("--save-interval", type=int, default=1000)
     parser.add_argument("--test-interval", type=int, default=500)
     parser.add_argument("--num-test-games", type=int, default=200)
     parser.add_argument("--net", choices=("mlp", "conv"), default="mlp",
@@ -40,18 +48,22 @@ def main(argv=None):
     args, _ = parser.parse_known_args(argv)
 
     trainer = ACKTRSelfPlayTrainer(
-        acktr_cfg=ACKTRConfig(lr=args.lr, kl_clip=args.kl_clip),
+        acktr_cfg=ACKTRConfig(lr=args.lr, kl_clip=args.kl_clip,
+                              entropy_coef=args.entropy_coef,
+                              damping=args.damping),
         env_cfg=EnvConfig(board_size=args.board_size,
                           num_disk_as_reward=True),
         run_cfg=SelfPlayConfig(
             num_envs=args.num_envs, num_steps=args.num_steps,
             test_interval=args.test_interval,
-            num_test_games=args.num_test_games, seed=args.seed),
+            num_test_games=args.num_test_games,
+            save_interval=args.save_interval, seed=args.seed),
         log_fn=(MetricsLogger(args.log_dir).log if args.log_dir
                 else None),
         net=args.net)
     print(f"devices: {jax.devices()}")
-    trainer.train(args.num_updates, log_every=args.log_every)
+    trainer.train(args.num_updates, log_every=args.log_every,
+                  checkpoint_path=args.checkpoint or None)
     print("final eval:", trainer.evaluate())
 
 

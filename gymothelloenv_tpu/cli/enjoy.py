@@ -131,7 +131,11 @@ def main(argv=None):
                      else args.opponent)
             _, reward, done, _ = env.step(action)
             log.append(f"{mover} plays {action}")
-            render_live(done=done, final=done and ep == args.episodes - 1)
+            # Never final here: the reward caption is written by the
+            # post-loop call below — if this page stopped refreshing the
+            # browser could fetch it during --move-delay and never see
+            # the caption (advisor finding, round 2).
+            render_live(done=done)
         env.render(mode="np_array")
         outcome = reward if env.player_turn == agent_color else -reward
         print(f"episode {ep + 1}: agent reward {outcome}")

@@ -150,7 +150,13 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
         # length, so the step must actually run that many updates.  The
         # generic chain_train_steps wrapper doesn't fit here — every
         # chained step needs its OWN host-sampled expert stack — so the
-        # scan also consumes a leading (chain, ...) expert axis.
+        # scan also consumes a leading (chain, ...) expert axis.  Note
+        # the host-side sampling cost and the device transfer both scale
+        # linearly in chain: each dispatch ships
+        # chain * gail_epoch * gail_batch_size expert rows (at the
+        # chain=50 throughput recipe and defaults that is 50*5*128 rows
+        # of 4*B^2 floats ≈ 32 MB — fine on HBM, but budget for it
+        # before raising gail_batch_size and chain together).
         chain = self._chain = max(1, self.run_cfg.chain_updates)
         if chain > 1:
             def chained(params, opt_state, gail_state, sp_state,

@@ -359,5 +359,5 @@ def test_acktr_chain_updates_smoke():
     tr.train(4, log_every=1)
     assert tr.update_count == 4
     assert len(logs) == 2          # one dispatch (and log) per chain
-    assert all(np.isfinite(jax.tree.leaves(tr.params)[0]).all()
-               for _ in (0,))
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(tr.params))
