@@ -142,20 +142,14 @@ def shard_minibatch_idx(idx: jnp.ndarray, mesh) -> jnp.ndarray:
         idx, NamedSharding(mesh, PartitionSpec("data")))
 
 
-def dqn_train_batch(state: DQNState, replay: Replay, cfg: DQNConfig,
-                    rb_cfg: ReplayConfig, apply_fn: Callable,
-                    optimizer, key: jax.Array, mesh=None):
-    """One minibatch update (train_network, dqn.py:407-467):
-    y = r + gamma^n * max_a' targetQ(s', a') (Double: online argmax),
-    Huber loss on gathered Q, RMSprop step, PER priority refresh.
-    Returns (state, replay, loss).  ``mesh``: shard the minibatch over
-    'data' (global sampling, DP gradients)."""
-    idx = replay_sample_idx(replay, rb_cfg, key, cfg.batch_size)
-    if mesh is not None:
-        idx = shard_minibatch_idx(idx, mesh)
-    board, turn, action, reward, next_board, next_turn, done = \
-        replay_gather(replay, idx)
-
+def dqn_loss_grads(state: DQNState, cfg: DQNConfig, apply_fn: Callable,
+                   batch):
+    """Shared target/loss math for both replay layouts (replicated and
+    per-shard): y = r + gamma^n * max_a' targetQ(s', a') (Double: online
+    argmax, dqn.py:439-444), Huber loss on the gathered Q.  ``batch`` is
+    the (board, turn, action, reward, next_board, next_turn, done)
+    tuple; returns ((loss, td), grads)."""
+    board, turn, action, reward, next_board, next_turn, done = batch
     next_obs = featurize3(next_board, next_turn)
     target_q = apply_fn(state.target_params, next_obs)
     if cfg.double:
@@ -175,8 +169,22 @@ def dqn_train_batch(state: DQNState, replay: Replay, cfg: DQNConfig,
         td = y - q_a
         return optax.huber_loss(q_a, y).mean(), td
 
-    (loss, td), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params)
+    return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+
+def dqn_train_batch(state: DQNState, replay: Replay, cfg: DQNConfig,
+                    rb_cfg: ReplayConfig, apply_fn: Callable,
+                    optimizer, key: jax.Array, mesh=None):
+    """One minibatch update (train_network, dqn.py:407-467):
+    y = r + gamma^n * max_a' targetQ(s', a') (Double: online argmax),
+    Huber loss on gathered Q, RMSprop step, PER priority refresh.
+    Returns (state, replay, loss).  ``mesh``: shard the minibatch over
+    'data' (global sampling, DP gradients)."""
+    idx = replay_sample_idx(replay, rb_cfg, key, cfg.batch_size)
+    if mesh is not None:
+        idx = shard_minibatch_idx(idx, mesh)
+    batch = replay_gather(replay, idx)
+    (loss, td), grads = dqn_loss_grads(state, cfg, apply_fn, batch)
     updates, opt_state = optimizer.update(grads, state.opt_state,
                                           state.params)
     params = optax.apply_updates(state.params, updates)

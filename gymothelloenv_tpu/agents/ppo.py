@@ -232,16 +232,27 @@ def ppo_update(params, opt_state, rollout: Transition,
                bootstrap_value: jnp.ndarray, key: jax.Array,
                apply_fn: Callable, optimizer: optax.GradientTransformation,
                cfg: PPOConfig, grad_reduce: Callable | None = None,
-               weights: jnp.ndarray | None = None):
+               weights: jnp.ndarray | None = None,
+               bad_transition: jnp.ndarray | None = None):
     """One full PPO update: GAE + advantage normalization + K epochs of
     shuffled minibatches (algo/ppo.py:34-110).
 
     ``grad_reduce`` (e.g. ``lambda g: lax.pmean(g, 'data')``) hooks in
     multi-chip gradient reduction when run under shard_map.
     ``weights`` (optional (T, N) 0/1) masks padded rollout slots.
+    ``bad_transition`` (optional (T, N) bool, exclusive with
+    ``weights``) switches GAE to the proper-time-limit variant
+    (``compute_gae_time_limits``, storage.py:79-96) — fed by
+    ``collect_rollout_time_limited``.
     Returns (params, opt_state, metrics).
     """
-    if weights is None:
+    if bad_transition is not None:
+        if weights is not None:
+            raise ValueError("weights and bad_transition are exclusive")
+        adv, returns = compute_gae_time_limits(rollout, bad_transition,
+                                               bootstrap_value, cfg)
+        adv = (adv - adv.mean()) / (adv.std() + 1e-5)
+    elif weights is None:
         adv, returns = compute_gae(rollout, bootstrap_value, cfg)
         adv = (adv - adv.mean()) / (adv.std() + 1e-5)
     else:
@@ -321,7 +332,8 @@ def ppo_update_recurrent(params, opt_state, rollout: Transition,
                          apply_fn: Callable,
                          optimizer: optax.GradientTransformation,
                          cfg: PPOConfig,
-                         grad_reduce: Callable | None = None):
+                         grad_reduce: Callable | None = None,
+                         split_fns: tuple | None = None):
     """Recurrent PPO update — the vendored ``recurrent_generator`` path
     (storage.py:159-216 driven by algo/ppo.py:41-48 with
     ``recurrent_hidden_state_size > 1``), rebuilt working.
@@ -345,6 +357,16 @@ def ppo_update_recurrent(params, opt_state, rollout: Transition,
         consumes obs[t] (i.e. ``masks[t] = 1 - done[t-1]``, masks[0]
         refers to the validity of ``h0``).
       apply_fn: ``(params, obs_t, h, mask_t) -> (logits, value, h)``.
+      split_fns: optional ``(features, core, heads)`` decomposition of
+        ``apply_fn`` (``PolicyNet.features/core/heads``).  When given,
+        the replay computes trunk features for ALL ``T * envs_mb`` rows
+        in ONE parallel batch and keeps only the tiny GRU recurrence in
+        the sequential ``T``-scan — the same math (the trunk has no
+        hidden-state dependence), but the conv/fc FLOPs hit the MXU as
+        one large matmul instead of ``T`` sequential small ones.  This
+        was the recurrent path's whole throughput gap: the round-2
+        update serialized the full CNN ``T`` times per grad step
+        (RESULTS.md round-3 trace).
     """
     adv, returns = compute_gae(rollout, bootstrap_value, cfg)
     adv = (adv - adv.mean()) / (adv.std() + 1e-5)
@@ -372,6 +394,28 @@ def ppo_update_recurrent(params, opt_state, rollout: Transition,
 
             def loss_fn(params):
                 obs = mb.obs.astype(jnp.float32)
+                flat = jax.tree.map(
+                    lambda x: x.reshape((T * envs_mb,) + x.shape[2:]), mb)
+
+                if split_fns is not None:
+                    features, core, heads = split_fns
+                    # Trunk over all T*envs_mb rows at once (MXU-sized);
+                    # only the GRU cell stays sequential-in-T.
+                    feats = features(
+                        params,
+                        obs.reshape((T * envs_mb,) + obs.shape[2:]))
+                    feats = feats.reshape(T, envs_mb, -1)
+
+                    def step(h, inp):
+                        feat_t, mask_t = inp
+                        y_t, h = core(params, feat_t, h, mask_t)
+                        return h, y_t
+
+                    _, ys = jax.lax.scan(step, mb_h0, (feats, mb_masks))
+                    logits, values = heads(
+                        params, ys.reshape(T * envs_mb, -1))
+                    return ppo_loss_terms(
+                        logits, values, flat, mb_adv, mb_ret, cfg, None)
 
                 def step(h, inp):
                     obs_t, mask_t = inp
@@ -381,8 +425,6 @@ def ppo_update_recurrent(params, opt_state, rollout: Transition,
 
                 _, (logits, values) = jax.lax.scan(
                     step, mb_h0, (obs, mb_masks))
-                flat = jax.tree.map(
-                    lambda x: x.reshape((T * envs_mb,) + x.shape[2:]), mb)
                 return ppo_loss_terms(
                     logits.reshape(T * envs_mb, -1), values.reshape(-1),
                     flat, mb_adv, mb_ret, cfg, None)

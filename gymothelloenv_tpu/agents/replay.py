@@ -169,6 +169,16 @@ def replay_update_priorities(rb: Replay, cfg: ReplayConfig,
     )
 
 
+def unpack_rows(rows: jnp.ndarray, board_size: int):
+    """Decode packed byte rows (K, row_bytes) -> transition arrays.
+    Used by the per-shard replay path, whose psum-assembled batch arrives
+    as raw rows rather than ring indices (parallel/replay_shards.py)."""
+    _, unpack, _ = _codec(board_size)
+    d = unpack(rows)
+    return (d["board"], d["turn"], d["action"], d["reward"],
+            d["next_board"], d["next_turn"], d["done"])
+
+
 def replay_gather(rb: Replay, idx: jnp.ndarray):
     """Fetch a batch of raw transitions (boards/turn form) — ONE gather of
     packed rows, then free slice/bitcast unpacks."""

@@ -58,6 +58,19 @@ def main(argv=None):
                         help="chunks between checkpoint saves; a "
                              "{step} placeholder in --checkpoint "
                              "keeps one file per snapshot")
+    parser.add_argument("--data-parallel", type=int, default=0,
+                        help="shard the env batch + updates over this "
+                             "many devices (0 = no mesh; N builds an "
+                             "Nx1 'data' mesh over jax.devices())")
+    parser.add_argument("--replay-sharding", default="replicated",
+                        choices=("replicated", "per-shard"),
+                        help="replay layout under --data-parallel: "
+                             "'replicated' = full ring on every device "
+                             "(exact global PER); 'per-shard' = each "
+                             "device owns capacity/N of the ring, "
+                             "sampling still globally prioritized "
+                             "(parallel/replay_shards.py) — use when "
+                             "the ring no longer fits one device")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--checkpoint", type=str, default="")
     parser.add_argument("--load", type=str, default="")
@@ -84,12 +97,22 @@ def main(argv=None):
         pool_interval=args.pool_interval,
         num_test_games=args.num_test_games,
         test_interval=args.test_interval,
-        save_interval=args.save_interval, seed=args.seed)
+        save_interval=args.save_interval, seed=args.seed,
+        replay_sharding=args.replay_sharding)
+
+    mesh = None
+    if args.data_parallel:
+        from gymothelloenv_tpu.parallel import make_mesh
+        mesh = make_mesh(args.data_parallel)
+    elif args.replay_sharding != "replicated":
+        parser.error("--replay-sharding per-shard requires "
+                     "--data-parallel")
 
     logger = MetricsLogger(args.log_dir) if args.log_dir else None
     trainer = DQNTrainer(env_cfg=env_cfg, dqn_cfg=dqn_cfg, rb_cfg=rb_cfg,
                          run_cfg=run_cfg,
-                         log_fn=logger.log if logger else None)
+                         log_fn=logger.log if logger else None,
+                         mesh=mesh)
     if args.load:
         trainer.load(args.load)
         print(f"resumed from {args.load} at chunk {trainer.chunk_count}")

@@ -69,6 +69,17 @@ def main(argv=None):
                              "rebuilt; hidden state threaded through "
                              "collection, env-subset minibatches — "
                              "num-envs must divide by num-mini-batch)")
+    parser.add_argument("--frame-stack", type=int, default=1,
+                        help="stack the last K observations over "
+                             "channels (VecPyTorchFrameStack, vendored "
+                             "envs.py:210-250); 1 = off.  Rides the "
+                             "recurrent machinery — num-envs must "
+                             "divide by num-mini-batch")
+    parser.add_argument("--max-episode-plies", type=int, default=0,
+                        help="truncate episodes after this many "
+                             "protagonist decisions with proper-time-"
+                             "limit GAE (TimeLimitMask + storage.py "
+                             "bad_masks semantics); 0 = off")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 net compute (params stay fp32; "
                              "~17%% faster updates at num-envs 4096)")
@@ -92,6 +103,8 @@ def main(argv=None):
         bf16=args.bf16, hidden_size=args.hidden_size,
         width_mult=args.width_mult, opponent_pool=args.opponent_pool,
         pool_interval=args.pool_interval, recurrent=args.recurrent,
+        frame_stack=args.frame_stack,
+        max_episode_plies=args.max_episode_plies,
         chain_updates=args.chain_updates)
 
     logger = MetricsLogger(args.log_dir) if args.log_dir else None

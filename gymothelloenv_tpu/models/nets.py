@@ -310,29 +310,61 @@ class PolicyNet(nn.Module):
     #   ConvTrunk — "conv" is the measured winner, others are A/B probes)
     width_mult: int = 1       # trunk channel multiplier (1 = parity)
 
-    @nn.compact
-    def __call__(self, x, h=None, mask=None):
+    def setup(self):
+        # Explicit names reproduce the @nn.compact auto-naming the round-1
+        # checkpoints were saved with (ConvTrunk_0 / Dense_0 fc /
+        # GRUCore_0 / Dense_1 value / Dense_2 logits) — round 3 split the
+        # forward into (features, core, heads) methods so the recurrent
+        # update can batch the trunk over T*N and keep only the GRU in
+        # the sequential scan (see agents.ppo.ppo_update_recurrent).
         relu_gain = math.sqrt(2.0)
         trunk_init = nn.initializers.orthogonal(relu_gain)
+        self._trunk = ConvTrunk(kernel_init=trunk_init, dtype=self.dtype,
+                                impl=self.trunk_impl,
+                                width_mult=self.width_mult,
+                                name="ConvTrunk_0")
+        self._fc = nn.Dense(self.hidden_size, kernel_init=trunk_init,
+                            bias_init=nn.initializers.zeros,
+                            dtype=self.dtype, name="Dense_0")
+        if self.recurrent:
+            self._gru = GRUCore(hidden_size=self.hidden_size,
+                                name="GRUCore_0")
+        self._value = nn.Dense(1,
+                               kernel_init=nn.initializers.orthogonal(1.0),
+                               bias_init=nn.initializers.zeros,
+                               dtype=self.dtype, name="Dense_1")
+        self._logits = nn.Dense(self.num_actions,
+                                kernel_init=nn.initializers.orthogonal(
+                                    0.01),
+                                bias_init=nn.initializers.zeros,
+                                dtype=self.dtype, name="Dense_2")
+
+    def features(self, x):
+        """Everything below the recurrence: trunk + fc -> (N, hidden).
+        Batch-parallel (no hidden-state dependence)."""
         x = x.astype(self.dtype)
-        x = ConvTrunk(kernel_init=trunk_init, dtype=self.dtype,
-                      impl=self.trunk_impl,
-                      width_mult=self.width_mult)(_to_nhwc(x))
-        x = nn.relu(nn.Dense(self.hidden_size, kernel_init=trunk_init,
-                             bias_init=nn.initializers.zeros,
-                             dtype=self.dtype)(x))
+        x = self._trunk(_to_nhwc(x))
+        return nn.relu(self._fc(x))
+
+    def core(self, feat, h, mask):
+        """One GRU step over precomputed features -> (y, h')."""
+        return self._gru(feat, h, mask)
+
+    def heads(self, y):
+        """Value + logits over (post-recurrence) features —
+        batch-parallel."""
+        value = self._value(y)[..., 0]
+        logits = self._logits(y)
+        return logits.astype(jnp.float32), value.astype(jnp.float32)
+
+    def __call__(self, x, h=None, mask=None):
+        y = self.features(x)
         if self.recurrent:
             if h is None or mask is None:
                 raise ValueError("recurrent PolicyNet needs (h, mask)")
-            x, h = GRUCore(hidden_size=self.hidden_size)(x, h, mask)
-        value = nn.Dense(1, kernel_init=nn.initializers.orthogonal(1.0),
-                         bias_init=nn.initializers.zeros,
-                         dtype=self.dtype)(x)[..., 0]
-        logits = nn.Dense(self.num_actions,
-                          kernel_init=nn.initializers.orthogonal(0.01),
-                          bias_init=nn.initializers.zeros,
-                          dtype=self.dtype)(x)
-        return (logits.astype(jnp.float32), value.astype(jnp.float32), h)
+            y, h = self.core(y, h, mask)
+        logits, value = self.heads(y)
+        return logits, value, h
 
 
 class MLPBase(nn.Module):

@@ -96,3 +96,127 @@ def sharded_update_priorities(rb: Replay, cfg: ReplayConfig,
 def global_size(rb: Replay, axis_name: str = "data") -> jnp.ndarray:
     """Total live transitions across shards (inside shard_map)."""
     return jax.lax.psum(rb.size, axis_name)
+
+
+# ---------------------------------------------------------------------------
+# Trainer-facing drivers (DQNTrainer --replay-sharding per-shard): the
+# per-shard replay lives as a STACKED pytree — every Replay leaf gains a
+# leading (S,) axis sharded over 'data', so the ring data stays resident
+# on its owning device and total capacity scales with the mesh.  The
+# functions below wrap the shard_map blocks; they run inside the
+# trainer's jitted chunk.
+
+def stack_replays(cfg_per_shard: ReplayConfig, num_shards: int) -> Replay:
+    """Fresh stacked per-shard replay: S identical empty rings."""
+    from gymothelloenv_tpu.agents.replay import replay_init
+
+    rb = replay_init(cfg_per_shard)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (num_shards,) + x.shape), rb)
+
+
+def _stacked_specs(stacked):
+    from jax.sharding import PartitionSpec as P
+
+    return jax.tree.map(lambda _: P("data"), stacked)
+
+
+def pershard_insert(mesh, stacked: Replay, cfg_per_shard: ReplayConfig,
+                    em, stream_axis: int = 3) -> Replay:
+    """Insert a collection chunk's emissions into the per-shard rings.
+
+    ``em`` is the trainer's (T, slots, n, 2N, ...) ``Emitted`` pytree with
+    the stream axis (2N) already GSPMD-sharded over 'data' — each shard
+    flattens and inserts ONLY its local streams' rows, so no emission
+    bytes cross the interconnect (the whole point of the per-shard
+    layout)."""
+    import functools
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def em_spec(leaf):
+        spec = [None] * leaf.ndim
+        spec[stream_axis] = "data"
+        return P(*spec)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(_stacked_specs(stacked), jax.tree.map(em_spec, em)),
+        out_specs=_stacked_specs(stacked), check_rep=False)
+    def block(stacked, em):
+        from gymothelloenv_tpu.agents.replay import replay_insert
+
+        rb = jax.tree.map(lambda x: x[0], stacked)
+
+        def flat(x):
+            return x.reshape((-1,) + x.shape[stream_axis + 1:])
+
+        rb = replay_insert(
+            rb, cfg_per_shard, flat(em.board), flat(em.turn),
+            flat(em.action), flat(em.reward), flat(em.next_board),
+            flat(em.next_turn), flat(em.done), flat(em.valid))
+        return jax.tree.map(lambda x: x[None], rb)
+
+    return block(stacked, em)
+
+
+def dqn_train_batch_pershard(state, stacked: Replay, cfg,
+                             cfg_per_shard: ReplayConfig, apply_fn,
+                             optimizer, key: jax.Array, mesh):
+    """One DQN minibatch update against the per-shard replay: globally
+    prioritized sample (owner-multinomial x local-stratified), DP
+    gradients over contiguous batch slices, full-batch PER refresh
+    scattered back to owning shards.  Drop-in for
+    ``agents.dqn.dqn_train_batch`` under the stacked layout; returns
+    (state, stacked, loss)."""
+    import functools
+
+    import optax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from gymothelloenv_tpu.agents.dqn import dqn_loss_grads
+    from gymothelloenv_tpu.agents.replay import unpack_rows
+
+    S = mesh.shape["data"]
+    batch = cfg.batch_size
+    if batch % S:
+        raise ValueError(f"batch_size {batch} not divisible by "
+                         f"data shards {S}")
+    b_local = batch // S
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), _stacked_specs(stacked), P()),
+        out_specs=(P(), P(), _stacked_specs(stacked)),
+        check_rep=False)
+    def block(state, stacked, key):
+        rb = jax.tree.map(lambda x: x[0], stacked)
+        rows, idx, owned = sharded_sample(rb, cfg_per_shard, key, batch)
+        full = unpack_rows(rows, cfg_per_shard.board_size)
+
+        # DP: each data shard grads its contiguous slice of the
+        # (replicated) assembled batch, then all-reduces.
+        shard = jax.lax.axis_index("data")
+
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, shard * b_local,
+                                                b_local, 0)
+
+        (loss, td), grads = dqn_loss_grads(
+            state, cfg, apply_fn, tuple(map(sl, full)))
+        grads = jax.lax.pmean(grads, "data")
+        loss = jax.lax.pmean(loss, "data")
+        if cfg_per_shard.prioritized:
+            # Contiguous slices all_gather back into slot order.
+            td_full = jax.lax.all_gather(td, "data", tiled=True)
+            rb = sharded_update_priorities(rb, cfg_per_shard, idx, owned,
+                                           td_full)
+        return grads, loss, jax.tree.map(lambda x: x[None], rb)
+
+    grads, loss, stacked = block(state, stacked, key)
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.params)
+    params = optax.apply_updates(state.params, updates)
+    return state.replace(params=params, opt_state=opt_state), stacked, loss

@@ -48,6 +48,7 @@ from gymothelloenv_tpu.core.state import EnvConfig
 from gymothelloenv_tpu.policies.scripted import greedy_action, random_action
 from gymothelloenv_tpu.train.tournament import (draw_max_rand_steps,
                                                 play_games_impl)
+from gymothelloenv_tpu.utils.tpu import fetch_scalar
 from gymothelloenv_tpu.utils.checkpoint import (load_checkpoint,
                                                 save_checkpoint)
 
@@ -73,6 +74,14 @@ class DQNRunConfig:
     # from its chunk-200-300 peak).  0 = reference-parity self-play.
     opponent_pool: int = 0
     pool_interval: int = 100       # chunks between pool snapshots
+    # Replay layout under a mesh: 'replicated' (default — every device
+    # holds the full ring, sampling is GLOBAL, exact single-device PER
+    # semantics) or 'per-shard' (each device owns a private ring of its
+    # env shard's transitions; capacity scales with the mesh and inserts
+    # stay local, while sampling still follows the global prioritized
+    # distribution via parallel/replay_shards.py).  Prefer per-shard
+    # when the ring no longer fits on one device (docs/DESIGN.md §6).
+    replay_sharding: str = "replicated"
 
 
 @struct.dataclass
@@ -126,10 +135,38 @@ class DQNTrainer:
 
         self._setup_algo()
 
+        if self.run_cfg.replay_sharding not in ("replicated", "per-shard"):
+            raise ValueError(self.run_cfg.replay_sharding)
+        self._per_shard = self.run_cfg.replay_sharding == "per-shard"
+        if self._per_shard:
+            if mesh is None:
+                raise ValueError("per-shard replay requires a mesh")
+            if not self._supports_pershard():
+                raise ValueError(
+                    f"{type(self).__name__} has no per-shard replay path "
+                    "(DQN only; Rainbow uses the replicated layout)")
+            S = mesh.shape["data"]
+            for name, val in (("capacity", self.rb_cfg.capacity),
+                              ("batch_size", self.dqn_cfg.batch_size),
+                              ("2*num_envs", 2 * self.run_cfg.num_envs)):
+                if val % S:
+                    raise ValueError(f"{name}={val} not divisible by "
+                                     f"data shards {S}")
+            # rb_cfg.capacity is the GLOBAL capacity; each shard owns an
+            # equal slice of it.
+            self._per_shard_cfg = dataclasses.replace(
+                self.rb_cfg, capacity=self.rb_cfg.capacity // S)
+
         self.key = jax.random.PRNGKey(self.run_cfg.seed)
         self.key, k = jax.random.split(self.key)
         self.agent = self._init_agent(k)
-        self.replay = replay_init(self.rb_cfg)
+        if self._per_shard:
+            from gymothelloenv_tpu.parallel.replay_shards import (
+                stack_replays)
+            self.replay = stack_replays(self._per_shard_cfg,
+                                        mesh.shape["data"])
+        else:
+            self.replay = replay_init(self.rb_cfg)
         self.roll: DQNRollState = None
         self.chunk_count = 0
         self.pool: list = []
@@ -155,9 +192,21 @@ class DQNTrainer:
         return dqn_act(params, self.apply_fn, board, turn, legal, key, eps)
 
     def _agent_train_batch(self, agent, replay, key):
+        if self._per_shard:
+            from gymothelloenv_tpu.parallel.replay_shards import (
+                dqn_train_batch_pershard)
+            return dqn_train_batch_pershard(
+                agent, replay, self.dqn_cfg, self._per_shard_cfg,
+                self.apply_fn, self.optimizer, key, self.mesh)
         return dqn_train_batch(agent, replay, self.dqn_cfg, self.rb_cfg,
                                self.apply_fn, self.optimizer, key,
                                mesh=self.mesh)
+
+    def _supports_pershard(self) -> bool:
+        """Whether this family implements the per-shard replay update
+        (RainbowTrainer overrides to False — its C51 update keeps the
+        replicated layout)."""
+        return type(self)._agent_train_batch is DQNTrainer._agent_train_batch
 
     def _opponent_greedy(self, params, board, turn, legal):
         """Batched greedy action from a frozen snapshot (opponent-pool
@@ -371,10 +420,19 @@ class DQNTrainer:
                 return x.reshape((-1,) + x.shape[4:])
 
             valid = flat(em.valid)
-            replay = replay_insert(
-                replay, rb_cfg, flat(em.board), flat(em.turn),
-                flat(em.action), flat(em.reward), flat(em.next_board),
-                flat(em.next_turn), flat(em.done), valid)
+            if self._per_shard:
+                # Each device inserts only its own env shard's rows
+                # (stream axis 2N pre-sharded by the collection scan) —
+                # no emission bytes cross the interconnect.
+                from gymothelloenv_tpu.parallel.replay_shards import (
+                    pershard_insert)
+                replay = pershard_insert(mesh, replay,
+                                         self._per_shard_cfg, em)
+            else:
+                replay = replay_insert(
+                    replay, rb_cfg, flat(em.board), flat(em.turn),
+                    flat(em.action), flat(em.reward), flat(em.next_board),
+                    flat(em.next_turn), flat(em.done), valid)
             t_old = agent.t
             agent = agent.replace(
                 t=agent.t + valid.sum(dtype=jnp.int32))
@@ -408,7 +466,9 @@ class DQNTrainer:
             metrics = {"loss": losses.mean(),
                        "epsilon": self._epsilon(agent.t),
                        "transitions": agent.t,
-                       "replay_size": replay.size}
+                       "replay_size": (replay.size.sum()
+                                       if self._per_shard
+                                       else replay.size)}
             return agent, replay, roll, metrics
 
         self._train_chunk = jax.jit(train_chunk, donate_argnums=(0, 1, 2))
@@ -457,7 +517,16 @@ class DQNTrainer:
                     self.roll,
                     shard_batch_axes(self.mesh, self.roll, (N, 2 * N)))
                 self.agent = place_replicated(self.agent, self.mesh)
-                self.replay = place_replicated(self.replay, self.mesh)
+                if self._per_shard:
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+                    self.replay = jax.device_put(
+                        self.replay,
+                        jax.tree.map(
+                            lambda _: NamedSharding(self.mesh, P("data")),
+                            self.replay))
+                else:
+                    self.replay = place_replicated(self.replay, self.mesh)
 
     def _snapshot_params(self):
         return jax.tree.map(lambda x: x.copy(), self.agent.params)
@@ -485,13 +554,13 @@ class DQNTrainer:
                 if len(self.pool) > self.run_cfg.opponent_pool:
                     self.pool.pop(0)
             if (c + 1) % log_every == 0 or c == num_chunks - 1:
-                m = {k_: float(v) for k_, v in metrics.items()}
-                m["transitions_per_sec"] = float(metrics["transitions"]) \
+                m = {k_: fetch_scalar(v) for k_, v in metrics.items()}
+                m["transitions_per_sec"] = fetch_scalar(metrics["transitions"]) \
                     / (time.time() - t0 + 1e-9)
                 self._log(self.chunk_count, m)
             if self.chunk_count % self.run_cfg.test_interval == 0:
                 self.key, k = jax.random.split(self.key)
-                wins = {k_: float(v) for k_, v in
+                wins = {k_: fetch_scalar(v) for k_, v in
                         self._eval_step(self.agent.params, k).items()}
                 self._log(self.chunk_count,
                           {f"win%({k_})": v for k_, v in wins.items()})
@@ -506,7 +575,7 @@ class DQNTrainer:
 
     def evaluate(self):
         self.key, k = jax.random.split(self.key)
-        return {k_: float(v)
+        return {k_: fetch_scalar(v)
                 for k_, v in self._eval_step(self.agent.params, k).items()}
 
     def _log(self, step, metrics):

@@ -24,9 +24,11 @@ from gymothelloenv_tpu.policies.scripted import (greedy_policy,
                                                  random_policy)
 from gymothelloenv_tpu.train.self_play import (collect_rollout,
                                                collect_rollout_recurrent,
+                                               collect_rollout_time_limited,
                                                selfplay_init,
                                                selfplay_init_recurrent)
 from gymothelloenv_tpu.train.tournament import play_games_impl
+from gymothelloenv_tpu.utils.tpu import fetch_scalar
 from gymothelloenv_tpu.utils.checkpoint import (load_checkpoint,
                                                 save_checkpoint)
 
@@ -63,6 +65,25 @@ class SelfPlayConfig:
     # actions here, algo/ppo.py:44-46).  num_envs must divide by
     # PPOConfig.num_mini_batch (env-subset minibatches).
     recurrent: bool = False
+    # Channel frame stacking (VecPyTorchFrameStack, vendored
+    # envs.py:210-250): the policy sees the last K canonical
+    # observations stacked over channels (newest last), zeroed at
+    # episode starts.  Implemented as a stateless "recurrent cell"
+    # whose hidden state holds the previous K-1 frames, so the
+    # recurrent collector/update/eval machinery drives it unchanged
+    # (make_apply_fn_framestack).  1 = off (reference Othello parity;
+    # the board is fully observable, this is a capability path).
+    # Mutually exclusive with ``recurrent``.
+    frame_stack: int = 1
+    # Episode step cap (gym TimeLimit + the fork's TimeLimitMask,
+    # vendored envs.py:110-119 + storage.py:79-96): episodes are
+    # truncated after this many protagonist decisions, truncations are
+    # flagged bad_transition, and GAE switches to the proper-time-limit
+    # variant (advantage zeroed at the cap instead of bootstrapping a
+    # fictitious terminal).  0 = off (Othello games end on their own;
+    # this is the capability path for the vendored semantics,
+    # collect_rollout_time_limited).  Feed-forward only.
+    max_episode_plies: int = 0
     # Scan this many train steps inside ONE jitted program — amortizes
     # the per-dispatch host/tunnel overhead (~4 ms/step on the axon
     # backend) for sustained-throughput runs.  Logging/eval/checkpoint
@@ -94,6 +115,46 @@ def make_apply_fn_recurrent(net: PolicyNet):
     PolicyNet(recurrent=True)."""
     def apply_fn(params, obs, h, mask):
         return net.apply(params, obs, h, mask)
+    return apply_fn
+
+
+def make_split_fns(net: PolicyNet):
+    """(features, core, heads) decomposition of the recurrent PolicyNet
+    for the batched-trunk recurrent update (see ppo_update_recurrent's
+    ``split_fns``)."""
+    def features(params, obs):
+        return net.apply(params, obs, method=PolicyNet.features)
+
+    def core(params, feat, h, mask):
+        return net.apply(params, feat, h, mask, method=PolicyNet.core)
+
+    def heads(params, y):
+        return net.apply(params, y, method=PolicyNet.heads)
+
+    return features, core, heads
+
+
+def make_apply_fn_framestack(net: PolicyNet, nstack: int, cfg: EnvConfig):
+    """Frame stacking as a recurrent cell: ``h`` flat-packs the previous
+    ``nstack-1`` frames; the cell feeds ``[h-frames, obs]`` (newest in
+    the last C channels) to the feed-forward net and shifts the window.
+    ``h * mask`` zeroes the history at episode starts — together these
+    reproduce ``envs.vec_wrappers.frame_stack_init/step`` exactly
+    (gated by tests/test_vec_wrappers.py), while letting the recurrent
+    collector, ``ppo_update_recurrent`` and ``play_games_recurrent``
+    drive frame stacking with no new machinery.  (Vendored
+    VecPyTorchFrameStack, envs.py:210-250.)"""
+    C, B = 4, cfg.board_size
+    hidden = (nstack - 1) * C * B * B
+
+    def apply_fn(params, obs, h, mask):
+        n = obs.shape[0]
+        prev = (h * mask[:, None]).reshape(n, (nstack - 1) * C, B, B)
+        x = jnp.concatenate([prev, obs.astype(prev.dtype)], axis=1)
+        logits, value, _ = net.apply(params, x)
+        return logits, value, x[:, C:].reshape(n, hidden)
+
+    apply_fn.hidden_size = hidden
     return apply_fn
 
 
@@ -181,27 +242,41 @@ def load_eval_policy(path: str, cfg: EnvConfig):
     width_mult = int(trunk["Conv_0"]["kernel"].shape[-1]) // 32
     hidden_size = int(raw_params["params"]["Dense_0"]["kernel"].shape[-1])
     recurrent = "GRUCore_0" in raw_params["params"]
+    # Frame-stacked nets are plain conv nets whose first layer consumes
+    # 4*K channels — infer K from the stored kernel.
+    frame_stack = int(trunk["Conv_0"]["kernel"].shape[-2]) // 4
     net = make_network(cfg, recurrent=recurrent, hidden_size=hidden_size,
                        width_mult=width_mult)
-    dummy = jnp.zeros((1, 4, cfg.board_size, cfg.board_size))
+    dummy = jnp.zeros((1, 4 * frame_stack, cfg.board_size,
+                       cfg.board_size))
     if recurrent:
         template = jax.eval_shape(
             lambda k: net.init(k, dummy, jnp.zeros((1, hidden_size)),
                                jnp.ones((1,))),
             jax.random.PRNGKey(0))
         apply_fn = make_apply_fn_recurrent(net)
+        state_size = hidden_size
+    elif frame_stack > 1:
+        template = jax.eval_shape(lambda k: net.init(k, dummy),
+                                  jax.random.PRNGKey(0))
+        apply_fn = make_apply_fn_framestack(net, frame_stack, cfg)
+        state_size = apply_fn.hidden_size
     else:
         template = jax.eval_shape(lambda k: net.init(k, dummy),
                                   jax.random.PRNGKey(0))
         apply_fn = make_apply_fn(net)
-    # Callers that can thread hidden state branch on these attributes
-    # (cli/eval_checkpoint uses play_games_recurrent when set).
-    apply_fn.recurrent = recurrent
-    apply_fn.hidden_size = hidden_size
+        state_size = hidden_size
+    # Callers that can thread policy state branch on these attributes
+    # (cli/eval_checkpoint uses play_games_recurrent when set; a
+    # frame-stacked net rides the same path — its "hidden" is the
+    # frame window).
+    apply_fn.recurrent = recurrent or frame_stack > 1
+    apply_fn.hidden_size = state_size
     params = serialization.from_state_dict(template, raw_params)
     extra = ("" if width_mult == 1 and hidden_size == 512 else
              f", width_mult={width_mult}, hidden={hidden_size}")
     extra += ", recurrent" if recurrent else ""
+    extra += f", frame_stack={frame_stack}" if frame_stack > 1 else ""
     return params, apply_fn, f"step {step}{extra}"
 
 
@@ -264,23 +339,44 @@ class PPOSelfPlayTrainer:
                 f"(got {self.run_cfg.pool_interval})")
 
         recurrent = self.run_cfg.recurrent
-        if recurrent and self.run_cfg.num_envs % self.ppo_cfg.num_mini_batch:
+        nstack = self.run_cfg.frame_stack
+        stacked = nstack > 1
+        if recurrent and stacked:
+            raise ValueError("recurrent and frame_stack are mutually "
+                             "exclusive (both thread policy state)")
+        # Both paths ride the recurrent collector/update machinery.
+        rec_like = recurrent or stacked
+        time_limited = self.run_cfg.max_episode_plies > 0
+        if time_limited and rec_like:
+            raise ValueError("max_episode_plies is feed-forward only")
+        if rec_like and self.run_cfg.num_envs % self.ppo_cfg.num_mini_batch:
             raise ValueError(
-                f"recurrent PPO needs num_envs ({self.run_cfg.num_envs}) "
-                f"divisible by num_mini_batch "
+                f"recurrent/frame-stack PPO needs num_envs "
+                f"({self.run_cfg.num_envs}) divisible by num_mini_batch "
                 f"({self.ppo_cfg.num_mini_batch})")
         self.net = make_network(self.env_cfg, recurrent=recurrent,
                                 bf16=self.run_cfg.bf16,
                                 hidden_size=self.run_cfg.hidden_size,
                                 width_mult=self.run_cfg.width_mult)
-        self.apply_fn = (make_apply_fn_recurrent(self.net) if recurrent
-                         else make_apply_fn(self.net))
+        if recurrent:
+            self.apply_fn = make_apply_fn_recurrent(self.net)
+            self._policy_state_size = self.run_cfg.hidden_size
+            self._split_fns = make_split_fns(self.net)
+        elif stacked:
+            self.apply_fn = make_apply_fn_framestack(self.net, nstack,
+                                                     self.env_cfg)
+            self._policy_state_size = self.apply_fn.hidden_size
+        else:
+            self.apply_fn = make_apply_fn(self.net)
+            self._policy_state_size = 0
+        if not recurrent:
+            self._split_fns = None
         self.optimizer = make_optimizer(self.ppo_cfg)
 
         key = jax.random.PRNGKey(self.run_cfg.seed)
         self.key, k_init = jax.random.split(key)
-        dummy = jnp.zeros((1, 4, self.env_cfg.board_size,
-                           self.env_cfg.board_size))
+        B_ = self.env_cfg.board_size
+        dummy = jnp.zeros((1, 4 * nstack, B_, B_))
         if recurrent:
             self.params = self.net.init(
                 k_init, dummy,
@@ -308,7 +404,7 @@ class PPOSelfPlayTrainer:
         def train_step(params, opt_state, sp_state, key, opp_params=None):
             if mesh is not None:
                 sp_state = constrain_batch_axes(sp_state, mesh, (N_,))
-            if recurrent:
+            if rec_like:
                 sp_state, rollout, h0, masks, bootstrap = \
                     collect_rollout_recurrent(
                         params, apply_fn, sp_state, env_cfg_,
@@ -321,7 +417,26 @@ class PPOSelfPlayTrainer:
                         (h0, bootstrap), mesh, axis=0, batch_size=N_)
                 params, opt_state, metrics = ppo_update_recurrent(
                     params, opt_state, rollout, h0, masks, bootstrap,
-                    key, apply_fn, optimizer, ppo_cfg_)
+                    key, apply_fn, optimizer, ppo_cfg_,
+                    split_fns=self._split_fns)
+            elif time_limited:
+                sp, elapsed = sp_state
+                sp, elapsed, rollout, bad, bootstrap = \
+                    collect_rollout_time_limited(
+                        params, apply_fn, sp, elapsed, env_cfg_,
+                        run_cfg_.num_steps, run_cfg_.max_episode_plies,
+                        run_cfg_.init_rand_steps, opp_params=opp_params)
+                if mesh is not None:
+                    rollout, bad = constrain_batch(
+                        (rollout, bad), mesh, axis=1, batch_size=N_)
+                    bootstrap, elapsed = constrain_batch(
+                        (bootstrap, elapsed), mesh, axis=0, batch_size=N_)
+                params, opt_state, metrics = ppo_update(
+                    params, opt_state, rollout, bootstrap, key, apply_fn,
+                    optimizer, ppo_cfg_, bad_transition=bad)
+                metrics = dict(metrics)
+                metrics["truncations"] = bad.sum()
+                sp_state = (sp, elapsed)
             else:
                 sp_state, rollout, bootstrap = collect_rollout(
                     params, apply_fn, sp_state, env_cfg_,
@@ -370,15 +485,15 @@ class PPOSelfPlayTrainer:
             for name, opp in (("rand", random_policy),
                               ("greedy", greedy_policy)):
                 key, k1, k2 = jax.random.split(key, 3)
-                if recurrent:
+                if rec_like:
                     w_as_black = play_games_recurrent(
                         k1, env_cfg_, params, apply_fn, opp, n, -1,
                         run_cfg_.test_init_rand_steps,
-                        run_cfg_.hidden_size)
+                        self._policy_state_size)
                     w_as_white = play_games_recurrent(
                         k2, env_cfg_, params, apply_fn, opp, n, 1,
                         run_cfg_.test_init_rand_steps,
-                        run_cfg_.hidden_size)
+                        self._policy_state_size)
                 else:
                     net_act = net_tournament_policy(params, apply_fn)
                     w_as_black = play_games_impl(
@@ -410,14 +525,14 @@ class PPOSelfPlayTrainer:
                     self.pool.append(self._snapshot_params())
                 kwargs["opp_params"] = self.pool[
                     self._pool_rng.randrange(len(self.pool))]
-            if self.run_cfg.recurrent:
+            if self._policy_state_size:   # recurrent or frame-stacked
                 self.sp_state = jax.jit(
                     selfplay_init_recurrent,
                     static_argnames=("apply_fn", "cfg", "num_envs",
                                      "hidden_size", "init_rand_steps"))(
                     self.params, apply_fn=self.apply_fn, key=k,
                     cfg=self.env_cfg, num_envs=self.run_cfg.num_envs,
-                    hidden_size=self.run_cfg.hidden_size,
+                    hidden_size=self._policy_state_size,
                     init_rand_steps=self.run_cfg.init_rand_steps,
                     **kwargs)
             else:
@@ -429,6 +544,10 @@ class PPOSelfPlayTrainer:
                     cfg=self.env_cfg, num_envs=self.run_cfg.num_envs,
                     init_rand_steps=self.run_cfg.init_rand_steps,
                     **kwargs)
+                if self.run_cfg.max_episode_plies > 0:
+                    # The init state's pending decision is ply 1.
+                    self.sp_state = (self.sp_state, jnp.ones(
+                        (self.run_cfg.num_envs,), jnp.int32))
             if self.mesh is not None:
                 from gymothelloenv_tpu.parallel.sharding import (
                     shard_batch_axes)
@@ -485,14 +604,14 @@ class PPOSelfPlayTrainer:
                            * chain)
 
             if done_iters % log_every == 0 or u + chain >= num_updates:
-                metrics = {k_: float(v) for k_, v in metrics.items()}
+                metrics = {k_: fetch_scalar(v) for k_, v in metrics.items()}
                 dt = time.time() - t0
                 metrics["transitions_per_sec"] = steps_done / dt
                 self._log(self.update_count, metrics)
 
             if crossed(self.run_cfg.test_interval):
                 self.key, k = jax.random.split(self.key)
-                wins = {k_: float(v)
+                wins = {k_: fetch_scalar(v)
                         for k_, v in self._eval_step(self.params, k).items()}
                 self._log(self.update_count,
                           {f"win%({k_})": v for k_, v in wins.items()})
@@ -504,7 +623,7 @@ class PPOSelfPlayTrainer:
 
     def evaluate(self):
         self.key, k = jax.random.split(self.key)
-        return {k_: float(v)
+        return {k_: fetch_scalar(v)
                 for k_, v in self._eval_step(self.params, k).items()}
 
     def _log(self, step, metrics):

@@ -283,6 +283,72 @@ def collect_rollout(params, apply_fn: ApplyFn, sp: SelfPlayState,
     return sp, rollout, sp.pending.value
 
 
+def collect_rollout_time_limited(params, apply_fn: ApplyFn,
+                                 sp: SelfPlayState, elapsed: jnp.ndarray,
+                                 cfg: EnvConfig, num_steps: int,
+                                 max_episode_plies: int,
+                                 init_rand_steps: int = 0,
+                                 logp_mode: str = "masked",
+                                 force_plane: bool = False,
+                                 opp_params=None):
+    """``collect_rollout`` with an episode step cap — the consumer of
+    gym's TimeLimit + the fork's TimeLimitMask semantics
+    (``envs.vec_wrappers.time_limit_step``, vendored envs.py:110-119):
+    an episode whose protagonist has taken ``max_episode_plies``
+    decisions is truncated (done without an outcome, reward 0) and the
+    truncation is flagged so ``compute_gae_time_limits``
+    (storage.py:79-96, ``use_proper_time_limits=True``) zeroes its
+    advantage instead of bootstrapping a fictitious terminal.
+
+    ``elapsed`` (N,) int32 counts the current episode's emitted
+    protagonist decisions INCLUDING the pending one (fresh state from
+    ``selfplay_init`` => ones).  Returns (sp, elapsed, rollout,
+    bad_transition (T, N) bool, bootstrap_value).  Kept separate from
+    ``collect_rollout`` — that one is the perf-critical bench path; the
+    phase helpers are shared so the game semantics cannot drift."""
+    eng = get_engine(cfg, force_plane)
+    if opp_params is None:
+        opp_params = params
+    rand_openings = init_rand_steps > 0
+
+    def slot(carry, _):
+        sp, elapsed = carry
+        env, rand_left, env_keys = advance_opponent(
+            opp_params, apply_fn, eng, sp.env, sp.rand_left, sp.env_keys,
+            sp.pcolor, cfg, rand_openings)
+
+        # Truncation is flagged even when the task also ended this step
+        # (TimeLimitMask: _max_episode_steps == _elapsed_steps).
+        truncated = elapsed >= max_episode_plies
+        done = env.terminated | truncated
+        reward = jnp.where(env.terminated,
+                           eng.outcome_for(env, sp.pcolor, cfg), 0.0)
+        emit = Transition(obs=sp.pending.obs, action=sp.pending.action,
+                          logp=sp.pending.logp, value=sp.pending.value,
+                          reward=reward, done=done, legal=sp.pending.legal)
+
+        env, rand_left, pcolor, env_keys = reset_done(
+            eng, env, rand_left, sp.pcolor, env_keys, done, cfg,
+            init_rand_steps)
+        elapsed = jnp.where(done, 0, elapsed)
+
+        env, rand_left, env_keys = advance_opponent(
+            opp_params, apply_fn, eng, env, rand_left, env_keys, pcolor,
+            cfg, rand_openings)
+        env, rand_left, env_keys, pending = protagonist_act(
+            params, apply_fn, eng, env, rand_left, env_keys, cfg,
+            logp_mode, rand_openings)
+        elapsed = elapsed + 1
+
+        return (SelfPlayState(env=env, rand_left=rand_left, pcolor=pcolor,
+                              env_keys=env_keys, pending=pending,
+                              key=sp.key), elapsed), (emit, truncated)
+
+    (sp, elapsed), (rollout, bad) = jax.lax.scan(
+        slot, (sp, elapsed), None, length=num_steps)
+    return sp, elapsed, rollout, bad, sp.pending.value
+
+
 # ---------------------------------------------------------------------------
 # Recurrent (GRU) self-play collection — hidden-state threading for
 # PolicyNet(recurrent=True), the working end-to-end counterpart of the

@@ -27,6 +27,7 @@ from gymothelloenv_tpu.policies.scripted import (greedy_policy,
 from gymothelloenv_tpu.train.self_play import (collect_rollout,
                                                selfplay_init)
 from gymothelloenv_tpu.train.tournament import play_games_impl
+from gymothelloenv_tpu.utils.tpu import fetch_scalar
 from gymothelloenv_tpu.utils.checkpoint import (load_checkpoint,
                                                 save_checkpoint)
 
@@ -160,12 +161,12 @@ class SimplePPOSelfPlayTrainer:
             self.update_count += 1
             done_steps += self.run_cfg.num_envs * self.run_cfg.num_steps
             if (u + 1) % log_every == 0 or u == num_updates - 1:
-                m = {k_: float(v) for k_, v in metrics.items()}
+                m = {k_: fetch_scalar(v) for k_, v in metrics.items()}
                 m["transitions_per_sec"] = done_steps / (time.time() - t0)
                 self._log(self.update_count, m)
             if self.update_count % self.run_cfg.test_interval == 0:
                 self.key, k = jax.random.split(self.key)
-                wins = {k_: float(v) for k_, v in
+                wins = {k_: fetch_scalar(v) for k_, v in
                         self._eval_step(self.params, k).items()}
                 self._log(self.update_count,
                           {f"win%({k_})": v for k_, v in wins.items()})
@@ -177,7 +178,7 @@ class SimplePPOSelfPlayTrainer:
 
     def evaluate(self):
         self.key, k = jax.random.split(self.key)
-        return {k_: float(v)
+        return {k_: fetch_scalar(v)
                 for k_, v in self._eval_step(self.params, k).items()}
 
     def _log(self, step, metrics):

@@ -42,6 +42,7 @@ from gymothelloenv_tpu.train.self_play import (masked_step, reset_done,
                                                split_each)
 from gymothelloenv_tpu.train.tournament import (draw_max_rand_steps,
                                                 play_games_impl)
+from gymothelloenv_tpu.utils.tpu import fetch_scalar
 from gymothelloenv_tpu.utils.checkpoint import (load_checkpoint,
                                                 save_checkpoint)
 
@@ -399,12 +400,12 @@ class TeacherStudentTrainer:
                 self.ts_state, jnp.float32(self.teacher_reward), k)
             self.chunk_count += 1
             if (c + 1) % log_every == 0 or c == num_chunks - 1:
-                m = {k_: float(v) for k_, v in metrics.items()}
+                m = {k_: fetch_scalar(v) for k_, v in metrics.items()}
                 m["teacher_reward_signal"] = self.teacher_reward
                 self._log(self.chunk_count, m)
             if self.chunk_count % self.run_cfg.test_interval == 0:
                 self.key, k = jax.random.split(self.key)
-                wins = {k_: float(v) for k_, v in
+                wins = {k_: fetch_scalar(v) for k_, v in
                         self._eval_step(self.params_s, k).items()}
                 self.last_win_avg = dict(self.win_avg)
                 self.win_avg = wins
@@ -412,7 +413,7 @@ class TeacherStudentTrainer:
                           {f"win avg({k_})": v for k_, v in wins.items()})
             if self.chunk_count % self.run_cfg.teacher_test_interval == 0:
                 self.key, k = jax.random.split(self.key)
-                wins = {k_: float(v) for k_, v in
+                wins = {k_: fetch_scalar(v) for k_, v in
                         self._eval_step(self.params_t, k).items()}
                 self._log(self.chunk_count,
                           {f"win avg teacher({k_})": v
@@ -425,7 +426,7 @@ class TeacherStudentTrainer:
 
     def evaluate_student(self):
         self.key, k = jax.random.split(self.key)
-        return {k_: float(v)
+        return {k_: fetch_scalar(v)
                 for k_, v in self._eval_step(self.params_s, k).items()}
 
     def load_teacher(self, path: str):

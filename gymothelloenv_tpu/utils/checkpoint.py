@@ -16,12 +16,21 @@ import jax
 from flax import serialization
 
 
+def _host_copy(tree: Any) -> Any:
+    """``jax.device_get`` that also works on a multi-process (pod)
+    cluster: replicated leaves spanning non-addressable devices are read
+    from the local replica (params/opt_state are replicated in every
+    trainer's sharding layout, so the local shard is the full value)."""
+    from gymothelloenv_tpu.utils.tpu import fetch_replicated
+    return jax.tree.map(fetch_replicated, tree)
+
+
 def save_checkpoint(path: str, step: int, params: Any, opt_state: Any = None,
                     extra: dict | None = None) -> None:
     payload = {
         "step": step,
-        "params": jax.device_get(params),
-        "opt_state": jax.device_get(opt_state),
+        "params": _host_copy(params),
+        "opt_state": _host_copy(opt_state),
         "extra": extra or {},
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

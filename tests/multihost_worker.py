@@ -54,6 +54,68 @@ def ppo_full_step(mesh, num_envs: int = 8, num_steps: int = 4) -> float:
     return float(np.asarray(metrics["value_loss"].addressable_data(0)))
 
 
+def _digest(tree) -> str:
+    """Order-stable scalar digest of a pytree (pod-safe fetches)."""
+    import numpy as np
+
+    from gymothelloenv_tpu.utils.tpu import fetch_replicated
+
+    total = 0.0
+    for leaf in __import__("jax").tree.leaves(tree):
+        arr = fetch_replicated(leaf).astype(np.float64)
+        total += float(np.abs(arr).sum())
+    return f"{total:.10e}"
+
+
+def dqn_full_chunks(mesh, num_chunks: int = 2):
+    """Two sharded DQN+PER chunks on ``mesh`` (the BASELINE configs[4]
+    family: "DQN w/ prioritized replay, envs sharded over 2+ hosts").
+    Same config as tests/test_sharded_trainers._dqn_trainer so the
+    1-vs-8 and 1-proc-vs-2-proc gates exercise one program.  Returns
+    (params_digest, priority_digest, size, t) — on a pod mesh the
+    replay is REPLICATED with global PER sampling, so every process must
+    observe the identical replay state."""
+    from gymothelloenv_tpu.agents.dqn import DQNConfig
+    from gymothelloenv_tpu.agents.replay import ReplayConfig
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.dqn_trainer import (DQNRunConfig,
+                                                     DQNTrainer)
+    from gymothelloenv_tpu.utils.tpu import fetch_scalar
+
+    tr = DQNTrainer(
+        EnvConfig(num_disk_as_reward=True),
+        DQNConfig(batch_size=16, initial_replay_size=1,
+                  target_update_interval=128, n_step=2, double=True,
+                  dueling=True, train_interval=4),
+        ReplayConfig(capacity=2048, prioritized=True),
+        DQNRunConfig(num_envs=16, chunk_plies=6, init_rand_steps=2,
+                     seed=3, test_interval=10**9),
+        log_fn=lambda *a: None, mesh=mesh)
+    tr.train(num_chunks=num_chunks, log_every=100)
+    return (_digest(tr.agent.params), _digest(tr.replay.priority),
+            int(fetch_scalar(tr.replay.size)),
+            int(fetch_scalar(tr.agent.t)))
+
+
+def ts_full_chunks(mesh, num_chunks: int = 2):
+    """Two sharded teacher-student chunks on ``mesh`` (the other
+    BASELINE configs[4] family).  Returns (teacher_digest,
+    student_digest)."""
+    from gymothelloenv_tpu.agents.ppo import PPOConfig
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.teacher_student import (
+        TeacherStudentConfig, TeacherStudentTrainer)
+
+    tr = TeacherStudentTrainer(
+        EnvConfig(num_disk_as_reward=True),
+        PPOConfig(lr=2.5e-4, ppo_epochs=2, num_mini_batch=2),
+        TeacherStudentConfig(num_envs=16, num_steps=3,
+                             test_interval=10_000, seed=7),
+        log_fn=lambda *a: None, mesh=mesh)
+    tr.train(num_chunks=num_chunks, log_every=100)
+    return _digest(tr.params_t), _digest(tr.params_s)
+
+
 def main(pid: int, port: str):
     import numpy as np
     import jax
@@ -94,8 +156,18 @@ def main(pid: int, port: str):
     # Full sharded PPO train step across the 2-process cluster.
     value_loss = ppo_full_step(mesh)
     assert np.isfinite(value_loss), value_loss
+
+    # Full sharded DQN+PER and teacher-student chunks across the cluster
+    # (BASELINE configs[4] names exactly these two families "sharded
+    # over 2+ hosts").  The digests must agree across processes AND with
+    # the single-process run the test computes on its own 8-device mesh.
+    dqn_p, dqn_prio, dqn_size, dqn_t = dqn_full_chunks(mesh)
+    ts_t, ts_s = ts_full_chunks(mesh)
     print(f"OK proc{pid} sum={got} grad={g_val} "
-          f"ppo_value_loss={value_loss:.6f}", flush=True)
+          f"ppo_value_loss={value_loss:.6f} "
+          f"dqn_params={dqn_p} dqn_prio={dqn_prio} "
+          f"dqn_size={dqn_size} dqn_t={dqn_t} "
+          f"ts_teacher={ts_t} ts_student={ts_s}", flush=True)
 
 
 if __name__ == "__main__":

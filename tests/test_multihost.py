@@ -32,7 +32,7 @@ def test_two_process_distributed_cluster():
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for pid in (0, 1)]
     try:
-        outs = [p.communicate(timeout=420)[0] for p in procs]
+        outs = [p.communicate(timeout=900)[0] for p in procs]
     finally:
         for p in procs:       # don't orphan cluster members on timeout
             if p.poll() is None:
@@ -44,7 +44,8 @@ def test_two_process_distributed_cluster():
 
     # The 2-process cluster's full PPO step must reproduce the same
     # global program run single-process on this test's 8-device mesh.
-    from multihost_worker import ppo_full_step
+    from multihost_worker import (dqn_full_chunks, ppo_full_step,
+                                  ts_full_chunks)
 
     from gymothelloenv_tpu.parallel import make_mesh
 
@@ -54,3 +55,28 @@ def test_two_process_distributed_cluster():
     assert got[0] == got[1], got
     assert abs(got[0] - expect) < 5e-3 * max(1.0, abs(expect)), \
         (got[0], expect)
+
+    # DQN+PER and teacher-student full chunks (BASELINE configs[4]):
+    # every process reports the same digests (replicated replay/params
+    # are host-consistent), and they match the single-process run of the
+    # identical global program on this test's own 8-device mesh.
+    def field(out, name):
+        return re.search(rf"{name}=([0-9.eE+-]+)", out).group(1)
+
+    for name in ("dqn_params", "dqn_prio", "dqn_size", "dqn_t",
+                 "ts_teacher", "ts_student"):
+        assert field(outs[0], name) == field(outs[1], name), \
+            (name, field(outs[0], name), field(outs[1], name))
+
+    def close(a, b, rtol=5e-3):
+        return abs(a - b) <= rtol * max(1.0, abs(b))
+
+    dqn_p, dqn_prio, dqn_size, dqn_t = dqn_full_chunks(make_mesh(8))
+    assert close(float(field(outs[0], "dqn_params")), float(dqn_p))
+    assert close(float(field(outs[0], "dqn_prio")), float(dqn_prio))
+    assert int(field(outs[0], "dqn_size")) == dqn_size > 0
+    assert int(field(outs[0], "dqn_t")) == dqn_t > 0
+
+    ts_t, ts_s = ts_full_chunks(make_mesh(8))
+    assert close(float(field(outs[0], "ts_teacher")), float(ts_t))
+    assert close(float(field(outs[0], "ts_student")), float(ts_s))

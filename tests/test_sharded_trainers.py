@@ -66,6 +66,76 @@ def test_dqn_sharded_parity(model_parallel, prioritized):
                                    rtol=5e-3, atol=1e-5)
 
 
+def _dqn_pershard_trainer(mesh):
+    import dataclasses
+
+    env_cfg = EnvConfig(num_disk_as_reward=True)
+    dqn_cfg = DQNConfig(batch_size=16, initial_replay_size=1,
+                        target_update_interval=128, n_step=2,
+                        double=True, dueling=True, train_interval=4)
+    rb_cfg = ReplayConfig(capacity=2048, prioritized=True)
+    run_cfg = DQNRunConfig(num_envs=N_ENVS, chunk_plies=6,
+                           init_rand_steps=2, seed=3,
+                           replay_sharding="per-shard")
+    del dataclasses
+    return DQNTrainer(env_cfg, dqn_cfg, rb_cfg, run_cfg,
+                      log_fn=lambda *a: None, mesh=mesh)
+
+
+@pytest.mark.parametrize("model_parallel", [1, 2])
+def test_dqn_per_shard_replay_contents_and_training(model_parallel):
+    """Per-shard replay gate (VERDICT r2 item 2): after ONE chunk (both
+    runs collect with identical initial params), the union of the
+    per-shard rings must hold exactly the replicated ring's rows — the
+    local-insert routing loses/duplicates nothing.  Sampling follows a
+    different (equally global-prioritized) stream, so post-update params
+    are checked for finiteness and training progress rather than bit
+    parity; distribution-level equivalence is tests/test_replay_shards.py."""
+    mesh = make_mesh(8, model_parallel=model_parallel)
+    ref = _dqn_trainer(make_mesh(1), prioritized=True)
+    ref.train(num_chunks=1, log_every=100)
+    ps = _dqn_pershard_trainer(mesh)
+    ps.train(num_chunks=1, log_every=100)
+
+    S = mesh.shape["data"]
+    assert int(ref.agent.t) == int(np.asarray(ps.agent.t)) > 0
+    sizes = np.asarray(ps.replay.size)
+    assert sizes.shape == (S,) and sizes.sum() == int(ref.replay.size)
+    assert (sizes > 0).all(), sizes     # inserts actually stayed local
+
+    ref_rows = np.asarray(ref.replay.data)[:int(ref.replay.size)]
+    shard_rows = np.concatenate([
+        np.asarray(ps.replay.data)[s, :sizes[s]] for s in range(S)])
+    # Multiset equality via lexicographic row sort.
+    def sort_rows(r):
+        return r[np.lexsort(r.T[::-1])]
+    np.testing.assert_array_equal(sort_rows(ref_rows),
+                                  sort_rows(shard_rows))
+
+    # A second chunk trains on the per-shard path end-to-end.
+    ps.train(num_chunks=1, log_every=100)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(ps.agent.params))
+    # PER refresh touched the shard rings (priorities moved off the
+    # insert-time max for at least one sampled slot).
+    prio = np.asarray(ps.replay.priority)[:, :-1]
+    live = np.arange(prio.shape[1])[None, :] < np.asarray(
+        ps.replay.size)[:, None]
+    assert (prio[live] != 1.0).any()
+
+
+def test_rainbow_rejects_per_shard():
+    from gymothelloenv_tpu.train.rainbow_trainer import RainbowTrainer
+
+    with pytest.raises(ValueError, match="per-shard"):
+        RainbowTrainer(
+            EnvConfig(num_disk_as_reward=True),
+            RainbowConfig(batch_size=16, initial_replay_size=1),
+            ReplayConfig(capacity=2048, prioritized=True),
+            DQNRunConfig(num_envs=N_ENVS, replay_sharding="per-shard"),
+            log_fn=lambda *a: None, mesh=make_mesh(8))
+
+
 def test_rainbow_sharded_parity():
     def build(mesh):
         env_cfg = EnvConfig(num_disk_as_reward=True)

@@ -274,3 +274,165 @@ def test_vecnorm_state_survives_save_load(tmp_path):
     np.testing.assert_allclose(np.asarray(tr2.vecnorm.ret),
                                np.asarray(tr.vecnorm.ret), rtol=1e-6)
     assert tr2.update_count == tr.update_count
+
+
+# ---------------------------------------------------------------------------
+# Round-3 consumers: frame-stacked PPO and time-limited PPO are runnable
+# trainer paths, not shelf-ware (VERDICT r2 item 7).
+# ---------------------------------------------------------------------------
+
+def test_framestack_apply_matches_wrapper_semantics():
+    """The frame-stack 'recurrent cell' (make_apply_fn_framestack)
+    evolves its hidden window exactly like frame_stack_init/step on the
+    same obs/done stream."""
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.ppo_trainer import (
+        make_apply_fn_framestack, make_network)
+
+    cfg = EnvConfig(num_disk_as_reward=True)
+    K, N, C, B = 3, 5, 4, cfg.board_size
+    net = make_network(cfg, hidden_size=32)
+    dummy = jnp.zeros((1, K * C, B, B))
+    params = net.init(jax.random.PRNGKey(0), dummy)
+    apply_fn = make_apply_fn_framestack(net, K, cfg)
+
+    rng = np.random.default_rng(3)
+    obs_seq = rng.integers(0, 2, (6, N, C, B, B)).astype(np.float32)
+    done_seq = rng.random((6, N)) < 0.3
+
+    # Wrapper reference.
+    ws = frame_stack_init(jnp.asarray(obs_seq[0]), K)
+    # Cell: h starts empty, first obs consumed with mask=1 (fresh games
+    # were zeroed upstream).
+    h = jnp.zeros((N, apply_fn.hidden_size))
+    mask = jnp.ones((N,))
+    for t in range(6):
+        obs = jnp.asarray(obs_seq[t])
+        if t > 0:
+            done = jnp.asarray(done_seq[t - 1])
+            ws = frame_stack_step(ws, obs, done)
+            mask = 1.0 - done.astype(jnp.float32)
+        logits, value, h = apply_fn(params, obs, h, mask)
+        # h after the call holds frames (t-K+2..t): it must equal the
+        # wrapper's stack minus the oldest C channels.
+        np.testing.assert_array_equal(
+            np.asarray(h.reshape(N, (K - 1) * C, B, B)),
+            np.asarray(ws.stacked[:, C:]))
+        mask = jnp.ones((N,))   # explicit resets only via done above
+
+
+def test_frame_stack_trainer_end_to_end():
+    from gymothelloenv_tpu.agents.ppo import PPOConfig
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
+                                                     SelfPlayConfig)
+
+    tr = PPOSelfPlayTrainer(
+        EnvConfig(num_disk_as_reward=True),
+        PPOConfig(ppo_epochs=2, num_mini_batch=2, num_updates=4),
+        SelfPlayConfig(num_envs=8, num_steps=4, test_interval=10**9,
+                       hidden_size=64, frame_stack=2, num_test_games=4),
+        log_fn=lambda *a: None)
+    # First conv consumes 2*4 channels.
+    k = tr.params["params"]["ConvTrunk_0"]["Conv_0"]["kernel"]
+    assert k.shape[-2] == 8, k.shape
+    tr.train(2, log_every=100)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(tr.params))
+    wins = tr.evaluate()
+    assert set(wins) == {"rand", "greedy"}
+
+
+def test_frame_stack_checkpoint_roundtrip(tmp_path):
+    from gymothelloenv_tpu.agents.ppo import PPOConfig
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
+                                                     SelfPlayConfig,
+                                                     load_eval_policy)
+
+    tr = PPOSelfPlayTrainer(
+        EnvConfig(num_disk_as_reward=True),
+        PPOConfig(ppo_epochs=1, num_mini_batch=2, num_updates=2),
+        SelfPlayConfig(num_envs=8, num_steps=4, test_interval=10**9,
+                       hidden_size=64, frame_stack=3, num_test_games=4),
+        log_fn=lambda *a: None)
+    path = str(tmp_path / "fs.msgpack")
+    tr.save(path)
+    params, apply_fn, desc = load_eval_policy(
+        path, EnvConfig(num_disk_as_reward=True))
+    assert "frame_stack=3" in desc, desc
+    assert apply_fn.recurrent          # rides the recurrent eval path
+    assert apply_fn.hidden_size == 2 * 4 * 64
+    # The loaded stacked policy plays eval games.
+    from gymothelloenv_tpu.policies.scripted import random_policy
+    from gymothelloenv_tpu.train.ppo_trainer import play_games_recurrent
+    w = play_games_recurrent(jax.random.PRNGKey(0),
+                             EnvConfig(num_disk_as_reward=True), params,
+                             apply_fn, random_policy, 4, -1, 2,
+                             apply_fn.hidden_size)
+    assert set(np.unique(np.asarray(w))) <= {-1, 0, 1}
+
+
+def test_time_limited_collector_truncates_and_flags():
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.ppo_trainer import (make_apply_fn,
+                                                     make_network)
+    from gymothelloenv_tpu.train.self_play import (
+        collect_rollout_time_limited, selfplay_init)
+
+    cfg = EnvConfig(num_disk_as_reward=True)
+    net = make_network(cfg, hidden_size=32)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 4, 8, 8)))
+    apply_fn = make_apply_fn(net)
+    N, CAP, T = 8, 5, 24
+    sp = jax.jit(selfplay_init,
+                 static_argnames=("apply_fn", "cfg", "num_envs"))(
+        params, apply_fn=apply_fn, key=jax.random.PRNGKey(1), cfg=cfg,
+        num_envs=N)
+    elapsed0 = jnp.ones((N,), jnp.int32)
+    collect = jax.jit(collect_rollout_time_limited,
+                      static_argnames=("apply_fn", "cfg", "num_steps",
+                                       "max_episode_plies"))
+    sp, elapsed, rollout, bad, bootstrap = collect(
+        params, apply_fn=apply_fn, sp=sp, elapsed=elapsed0, cfg=cfg,
+        num_steps=T, max_episode_plies=CAP)
+    done = np.asarray(rollout.done)
+    bad = np.asarray(bad)
+    reward = np.asarray(rollout.reward)
+
+    # bad only at dones; Othello games need > CAP decisions, so every
+    # episode hits the cap -> every done is a truncation with 0 reward.
+    assert bad.any()
+    assert (bad <= done).all()
+    assert (reward[bad] == 0).all()
+    # Episode lengths never exceed the cap: within each env column,
+    # consecutive dones are at most CAP slots apart, and the first done
+    # arrives by slot CAP.
+    for n in range(N):
+        idx = np.flatnonzero(done[:, n])
+        assert idx.size and idx[0] <= CAP - 1
+        assert (np.diff(idx) <= CAP).all()
+    assert (np.asarray(elapsed) >= 1).all()
+    assert np.isfinite(np.asarray(bootstrap)).all()
+
+
+def test_time_limited_trainer_end_to_end():
+    from gymothelloenv_tpu.agents.ppo import PPOConfig
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
+                                                     SelfPlayConfig)
+
+    tr = PPOSelfPlayTrainer(
+        EnvConfig(num_disk_as_reward=True),
+        PPOConfig(ppo_epochs=2, num_mini_batch=2, num_updates=4),
+        SelfPlayConfig(num_envs=8, num_steps=6, test_interval=10**9,
+                       hidden_size=64, max_episode_plies=4,
+                       num_test_games=4),
+        log_fn=lambda *a: None)
+    logs = []
+    tr.log_fn = lambda step, m: logs.append(m)
+    tr.train(2, log_every=1)
+    assert any(m.get("truncations", 0) > 0 for m in logs), logs
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(tr.params))
