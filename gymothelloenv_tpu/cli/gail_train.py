@@ -36,6 +36,10 @@ def main(argv=None):
     parser.add_argument("--gail-epoch", type=int, default=5)
     parser.add_argument("--gail-batch-size", type=int, default=128)
     parser.add_argument("--num-trajectories", type=int, default=4)
+    parser.add_argument("--bc-updates", type=int, default=0,
+                        help="behaviour-cloning pretrain steps on the "
+                             "expert before adversarial training "
+                             "(0 = off)")
     parser.add_argument("--subsample-frequency", type=int, default=4)
     parser.add_argument("--test-interval", type=int, default=100)
     parser.add_argument("--num-test-games", type=int, default=200)
@@ -64,6 +68,9 @@ def main(argv=None):
         ppo_cfg=ppo_cfg, run_cfg=run_cfg,
         log_fn=logger.log if logger else None)
     print(f"devices: {jax.devices()}  expert rows: {len(trainer.expert)}")
+    if args.bc_updates:
+        trainer.bc_warmstart(args.bc_updates)
+        print("BC warm-start eval:", trainer.evaluate())
     trainer.train(args.num_updates, log_every=args.log_every,
                   checkpoint_path=args.checkpoint or None)
     print("final eval:", trainer.evaluate())

@@ -203,9 +203,10 @@ class DQNTrainer:
                                mesh=self.mesh)
 
     def _supports_pershard(self) -> bool:
-        """Whether this family implements the per-shard replay update
-        (RainbowTrainer overrides to False — its C51 update keeps the
-        replicated layout)."""
+        """Whether this family implements the per-shard replay update.
+        Detected structurally: any subclass that overrides
+        ``_agent_train_batch`` (RainbowTrainer's C51 update) has no
+        per-shard path and keeps the replicated layout."""
         return type(self)._agent_train_batch is DQNTrainer._agent_train_batch
 
     def _opponent_greedy(self, params, board, turn, legal):

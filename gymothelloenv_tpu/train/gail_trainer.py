@@ -178,6 +178,51 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
         self._gail_train_step = jax.jit(step, donate_argnums=(0, 1, 2, 3))
         self._last_done = jnp.zeros((self.run_cfg.num_envs,), bool)
 
+    def bc_warmstart(self, updates: int, batch_size: int = 512,
+                     lr: float = 2.5e-4, log_every: int = 100):
+        """Behaviour-cloning pretrain on expert (state, action) pairs
+        before adversarial training — the standard GAIL warm-start (the
+        vendored repo trains gail_experts BC baselines the same way).
+        Minimizes masked cross-entropy of the policy at expert actions
+        (legal mask recovered from the stored observation's legal-move
+        plane, util.py:48-74 plane 3); the value head and the trainer's
+        Adam state are untouched (a dedicated optimizer drives BC)."""
+        import optax
+
+        from gymothelloenv_tpu.models.distributions import MaskedCategorical
+
+        B = self.env_cfg.board_size
+        apply_fn = self.apply_fn
+        bc_opt = optax.adam(lr)
+        bc_state = bc_opt.init(self.params)
+
+        @jax.jit
+        def bc_step(params, bc_state, s, a, mask):
+            def loss_fn(params):
+                logits, _, _ = apply_fn(params, s)
+                lp = MaskedCategorical(logits=logits,
+                                       mask=mask).log_prob(a)
+                return -lp.mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, bc_state = bc_opt.update(grads, bc_state, params)
+            return optax.apply_updates(params, upd), bc_state, loss
+
+        for i in range(updates):
+            s, a = self.expert.sample(self.np_rng, batch_size)
+            s = np.asarray(s, np.float32).reshape(-1, 4, B, B)
+            a = np.asarray(a, np.int64).reshape(-1)
+            mask = s[:, 3].reshape(len(s), -1) > 0.5
+            # Guard degenerate rows (terminal-padding states with no
+            # legal move would make the masked log-prob -inf).
+            ok = mask.any(axis=1)
+            self.params, bc_state, loss = bc_step(
+                self.params, bc_state, jnp.asarray(s[ok]),
+                jnp.asarray(a[ok]), jnp.asarray(mask[ok]))
+            if log_every and ((i + 1) % log_every == 0 or i == 0):
+                self._log(i + 1 - updates,   # negative steps = pre-GAIL
+                          {"bc_loss": float(loss)})
+
     def _sample_expert(self) -> np.ndarray:
         """(gail_epoch, M, sa_dim) float32 [state, one-hot action] rows."""
         out = []

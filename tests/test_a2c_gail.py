@@ -361,3 +361,66 @@ def test_acktr_chain_updates_smoke():
     assert len(logs) == 2          # one dispatch (and log) per chain
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree.leaves(tr.params))
+
+
+def test_gail_bc_warmstart_fits_expert_actions(tmp_path):
+    """BC pretraining (round 3, --bc-updates) drives the masked
+    cross-entropy down on a consistent synthetic expert whose actions
+    are always legal under their stored legal-move plane."""
+    import jax
+    import jax.numpy as jnp
+
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.models.distributions import MaskedCategorical
+    from gymothelloenv_tpu.train.gail_trainer import (GAILPPOTrainer,
+                                                      GAILRunConfig)
+    from gymothelloenv_tpu.train.ppo_trainer import SelfPlayConfig
+
+    rng = np.random.RandomState(2)
+    K, T, A = 4, 24, 64
+    states = (rng.rand(K, T, 256) > 0.7).astype(np.float32)
+    # Make every stored action legal in its own legal plane (slots
+    # 192:256 of the flattened 4-plane state), deterministic map
+    # state -> action so BC has signal to fit.
+    actions = np.zeros((K, T), np.int64)
+    for k in range(K):
+        for t in range(T):
+            legal = np.flatnonzero(states[k, t, 192:256] > 0.5)
+            if legal.size == 0:
+                states[k, t, 192 + 7] = 1.0
+                legal = np.asarray([7])
+            actions[k, t] = legal[int(states[k, t, :64].sum()) %
+                                  legal.size]
+    np.savez(str(tmp_path / "expert.npz"), states=states,
+             actions=actions, lengths=np.full(K, T, np.int64))
+
+    logs = []
+    tr = GAILPPOTrainer(
+        expert_path=str(tmp_path / "expert.npz"),
+        gail_run=GAILRunConfig(gail_epoch=2, gail_batch_size=16,
+                               num_trajectories=4,
+                               subsample_frequency=1),
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        run_cfg=SelfPlayConfig(num_envs=8, num_steps=8,
+                               num_test_games=4, test_interval=10**9,
+                               hidden_size=64),
+        log_fn=lambda step, m: logs.append((step, m)))
+
+    def expert_nll(params):
+        s = jnp.asarray(states.reshape(-1, 4, 8, 8))
+        a = jnp.asarray(actions.reshape(-1))
+        mask = jnp.asarray(states.reshape(-1, 256)[:, 192:] > 0.5)
+        logits, _, _ = tr.apply_fn(params, s)
+        return float(-MaskedCategorical(logits=logits,
+                                        mask=mask).log_prob(a).mean())
+
+    before = expert_nll(tr.params)
+    tr.bc_warmstart(60, batch_size=64, log_every=30)
+    after = expert_nll(tr.params)
+    assert after < before * 0.8, (before, after)
+    assert any(step <= 0 and "bc_loss" in m for step, m in logs)
+    # Adversarial training still runs on the warm-started params.
+    tr.log_fn = lambda step, m: None
+    tr.train(1, log_every=1)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(tr.params))
