@@ -176,19 +176,15 @@ def _project_distribution(next_probs, rewards, not_done,
     return jnp.einsum("ns,nst->nt", next_probs, w)
 
 
-def rainbow_train_batch(state: DQNState, replay: Replay,
-                        cfg: RainbowConfig, rb_cfg: ReplayConfig,
-                        apply_fn, optimizer, key: jax.Array, mesh=None):
-    """C51 projected-Bellman update with double-DQN action selection and
-    PER priorities = KL losses.  Returns (state, replay, loss).
-    ``mesh``: shard the minibatch over 'data' (see
-    agents.dqn.shard_minibatch_idx)."""
-    k_sample, k_online, k_target, k_train = jax.random.split(key, 4)
-    idx = replay_sample_idx(replay, rb_cfg, k_sample, cfg.batch_size)
-    if mesh is not None:
-        idx = shard_minibatch_idx(idx, mesh)
-    board, turn, action, reward, next_board, next_turn, done = \
-        replay_gather(replay, idx)
+def rainbow_loss_grads(state: DQNState, cfg: RainbowConfig, apply_fn,
+                       batch, key: jax.Array):
+    """Shared C51 target/loss math for both replay layouts (replicated
+    and per-shard): double-DQN action selection over expected Q,
+    projected-Bellman target distribution, KL loss; ``key`` drives the
+    noisy-net sample.  ``batch`` is the (board, turn, action, reward,
+    next_board, next_turn, done) tuple; returns ((loss, kl), grads)."""
+    k_online, k_target, k_train = jax.random.split(key, 3)
+    board, turn, action, reward, next_board, next_turn, done = batch
     next_obs = featurize3(next_board, next_turn)
 
     # Double: online net picks a*, target net evaluates its distribution.
@@ -212,8 +208,23 @@ def rainbow_train_batch(state: DQNState, replay: Replay,
         kl = -(proj * log_pa).sum(-1)
         return kl.mean(), kl
 
-    (loss, kl), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params)
+    return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+
+def rainbow_train_batch(state: DQNState, replay: Replay,
+                        cfg: RainbowConfig, rb_cfg: ReplayConfig,
+                        apply_fn, optimizer, key: jax.Array, mesh=None):
+    """C51 projected-Bellman update with double-DQN action selection and
+    PER priorities = KL losses.  Returns (state, replay, loss).
+    ``mesh``: shard the minibatch over 'data' (see
+    agents.dqn.shard_minibatch_idx)."""
+    k_sample, k_core = jax.random.split(key)
+    idx = replay_sample_idx(replay, rb_cfg, k_sample, cfg.batch_size)
+    if mesh is not None:
+        idx = shard_minibatch_idx(idx, mesh)
+    batch = replay_gather(replay, idx)
+    (loss, kl), grads = rainbow_loss_grads(state, cfg, apply_fn, batch,
+                                           k_core)
     updates, opt_state = optimizer.update(grads, state.opt_state,
                                           state.params)
     params = optax.apply_updates(state.params, updates)

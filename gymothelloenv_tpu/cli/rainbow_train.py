@@ -53,6 +53,14 @@ def main(argv=None):
                         help="chunks between checkpoint saves; a "
                              "{step} placeholder in --checkpoint "
                              "keeps one file per snapshot")
+    parser.add_argument("--data-parallel", type=int, default=0,
+                        help="shard the chunk over this many devices "
+                             "(0 = no mesh)")
+    parser.add_argument("--replay-sharding", default="replicated",
+                        choices=("replicated", "per-shard"),
+                        help="replay layout under --data-parallel (see "
+                             "cli.dqn_train; Rainbow uses the same "
+                             "per-shard driver with its C51 core)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--checkpoint", type=str, default="")
     parser.add_argument("--load", type=str, default="")
@@ -83,12 +91,22 @@ def main(argv=None):
         pool_interval=args.pool_interval,
         num_test_games=args.num_test_games,
         test_interval=args.test_interval,
-        save_interval=args.save_interval, seed=args.seed)
+        save_interval=args.save_interval, seed=args.seed,
+        replay_sharding=args.replay_sharding)
+
+    mesh = None
+    if args.data_parallel:
+        from gymothelloenv_tpu.parallel import make_mesh
+        mesh = make_mesh(args.data_parallel)
+    elif args.replay_sharding != "replicated":
+        parser.error("--replay-sharding per-shard requires "
+                     "--data-parallel")
 
     logger = MetricsLogger(args.log_dir) if args.log_dir else None
     trainer = RainbowTrainer(env_cfg=env_cfg, rainbow_cfg=rainbow_cfg,
                              rb_cfg=rb_cfg, run_cfg=run_cfg,
-                             log_fn=logger.log if logger else None)
+                             log_fn=logger.log if logger else None,
+                             mesh=mesh)
     if args.load:
         trainer.load(args.load)
         print(f"resumed from {args.load} at chunk {trainer.chunk_count}")

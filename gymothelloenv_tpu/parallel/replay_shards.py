@@ -161,30 +161,28 @@ def pershard_insert(mesh, stacked: Replay, cfg_per_shard: ReplayConfig,
     return block(stacked, em)
 
 
-def dqn_train_batch_pershard(state, stacked: Replay, cfg,
-                             cfg_per_shard: ReplayConfig, apply_fn,
-                             optimizer, key: jax.Array, mesh):
-    """One DQN minibatch update against the per-shard replay: globally
-    prioritized sample (owner-multinomial x local-stratified), DP
-    gradients over contiguous batch slices, full-batch PER refresh
-    scattered back to owning shards.  Drop-in for
-    ``agents.dqn.dqn_train_batch`` under the stacked layout; returns
-    (state, stacked, loss)."""
+def pershard_train_batch(state, stacked: Replay,
+                         cfg_per_shard: ReplayConfig, batch_size: int,
+                         loss_grads, optimizer, key: jax.Array, mesh):
+    """Generic per-shard minibatch update: globally prioritized sample
+    (owner-multinomial x local-stratified), DP gradients over contiguous
+    batch slices, full-batch PER refresh scattered back to owning
+    shards.  ``loss_grads(state, batch_tuple, key) -> ((loss, errors),
+    grads)`` supplies the algorithm (DQN Huber-TD or Rainbow C51-KL
+    cores below); returns (state, stacked, loss)."""
     import functools
 
     import optax
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from gymothelloenv_tpu.agents.dqn import dqn_loss_grads
     from gymothelloenv_tpu.agents.replay import unpack_rows
 
     S = mesh.shape["data"]
-    batch = cfg.batch_size
-    if batch % S:
-        raise ValueError(f"batch_size {batch} not divisible by "
+    if batch_size % S:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
                          f"data shards {S}")
-    b_local = batch // S
+    b_local = batch_size // S
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -192,8 +190,10 @@ def dqn_train_batch_pershard(state, stacked: Replay, cfg,
         out_specs=(P(), P(), _stacked_specs(stacked)),
         check_rep=False)
     def block(state, stacked, key):
+        k_sample, k_loss = jax.random.split(key)
         rb = jax.tree.map(lambda x: x[0], stacked)
-        rows, idx, owned = sharded_sample(rb, cfg_per_shard, key, batch)
+        rows, idx, owned = sharded_sample(rb, cfg_per_shard, k_sample,
+                                          batch_size)
         full = unpack_rows(rows, cfg_per_shard.board_size)
 
         # DP: each data shard grads its contiguous slice of the
@@ -204,15 +204,15 @@ def dqn_train_batch_pershard(state, stacked: Replay, cfg,
             return jax.lax.dynamic_slice_in_dim(x, shard * b_local,
                                                 b_local, 0)
 
-        (loss, td), grads = dqn_loss_grads(
-            state, cfg, apply_fn, tuple(map(sl, full)))
+        (loss, err), grads = loss_grads(state, tuple(map(sl, full)),
+                                        k_loss)
         grads = jax.lax.pmean(grads, "data")
         loss = jax.lax.pmean(loss, "data")
         if cfg_per_shard.prioritized:
             # Contiguous slices all_gather back into slot order.
-            td_full = jax.lax.all_gather(td, "data", tiled=True)
+            err_full = jax.lax.all_gather(err, "data", tiled=True)
             rb = sharded_update_priorities(rb, cfg_per_shard, idx, owned,
-                                           td_full)
+                                           err_full)
         return grads, loss, jax.tree.map(lambda x: x[None], rb)
 
     grads, loss, stacked = block(state, stacked, key)
@@ -220,3 +220,32 @@ def dqn_train_batch_pershard(state, stacked: Replay, cfg,
                                           state.params)
     params = optax.apply_updates(state.params, updates)
     return state.replace(params=params, opt_state=opt_state), stacked, loss
+
+
+def dqn_train_batch_pershard(state, stacked: Replay, cfg,
+                             cfg_per_shard: ReplayConfig, apply_fn,
+                             optimizer, key: jax.Array, mesh):
+    """Per-shard drop-in for ``agents.dqn.dqn_train_batch``."""
+    from gymothelloenv_tpu.agents.dqn import dqn_loss_grads
+
+    def lg(state, batch, k):
+        del k   # the DQN core is noise-free
+        return dqn_loss_grads(state, cfg, apply_fn, batch)
+
+    return pershard_train_batch(state, stacked, cfg_per_shard,
+                                cfg.batch_size, lg, optimizer, key, mesh)
+
+
+def rainbow_train_batch_pershard(state, stacked: Replay, cfg,
+                                 cfg_per_shard: ReplayConfig, apply_fn,
+                                 optimizer, key: jax.Array, mesh):
+    """Per-shard drop-in for ``agents.rainbow.rainbow_train_batch``
+    (noisy-net key replicated across shards — one noise draw per batch,
+    same as the replicated layout)."""
+    from gymothelloenv_tpu.agents.rainbow import rainbow_loss_grads
+
+    def lg(state, batch, k):
+        return rainbow_loss_grads(state, cfg, apply_fn, batch, k)
+
+    return pershard_train_batch(state, stacked, cfg_per_shard,
+                                cfg.batch_size, lg, optimizer, key, mesh)

@@ -141,10 +141,6 @@ class DQNTrainer:
         if self._per_shard:
             if mesh is None:
                 raise ValueError("per-shard replay requires a mesh")
-            if not self._supports_pershard():
-                raise ValueError(
-                    f"{type(self).__name__} has no per-shard replay path "
-                    "(DQN only; Rainbow uses the replicated layout)")
             S = mesh.shape["data"]
             for name, val in (("capacity", self.rb_cfg.capacity),
                               ("batch_size", self.dqn_cfg.batch_size),
@@ -193,21 +189,19 @@ class DQNTrainer:
 
     def _agent_train_batch(self, agent, replay, key):
         if self._per_shard:
-            from gymothelloenv_tpu.parallel.replay_shards import (
-                dqn_train_batch_pershard)
-            return dqn_train_batch_pershard(
-                agent, replay, self.dqn_cfg, self._per_shard_cfg,
-                self.apply_fn, self.optimizer, key, self.mesh)
+            return self._agent_train_batch_pershard(agent, replay, key)
         return dqn_train_batch(agent, replay, self.dqn_cfg, self.rb_cfg,
                                self.apply_fn, self.optimizer, key,
                                mesh=self.mesh)
 
-    def _supports_pershard(self) -> bool:
-        """Whether this family implements the per-shard replay update.
-        Detected structurally: any subclass that overrides
-        ``_agent_train_batch`` (RainbowTrainer's C51 update) has no
-        per-shard path and keeps the replicated layout."""
-        return type(self)._agent_train_batch is DQNTrainer._agent_train_batch
+    def _agent_train_batch_pershard(self, agent, stacked, key):
+        """Update against the per-shard replay layout (RainbowTrainer
+        overrides with its C51 core)."""
+        from gymothelloenv_tpu.parallel.replay_shards import (
+            dqn_train_batch_pershard)
+        return dqn_train_batch_pershard(
+            agent, stacked, self.dqn_cfg, self._per_shard_cfg,
+            self.apply_fn, self.optimizer, key, self.mesh)
 
     def _opponent_greedy(self, params, board, turn, legal):
         """Batched greedy action from a frozen snapshot (opponent-pool

@@ -69,9 +69,18 @@ class RainbowTrainer(DQNTrainer):
                            self.dqn_cfg)
 
     def _agent_train_batch(self, agent, replay, key):
+        if self._per_shard:
+            return self._agent_train_batch_pershard(agent, replay, key)
         return rainbow_train_batch(agent, replay, self.dqn_cfg,
                                    self.rb_cfg, self.apply_fn,
                                    self.optimizer, key, mesh=self.mesh)
+
+    def _agent_train_batch_pershard(self, agent, stacked, key):
+        from gymothelloenv_tpu.parallel.replay_shards import (
+            rainbow_train_batch_pershard)
+        return rainbow_train_batch_pershard(
+            agent, stacked, self.dqn_cfg, self._per_shard_cfg,
+            self.apply_fn, self.optimizer, key, self.mesh)
 
     def _opponent_greedy(self, params, board, turn, legal):
         """Frozen-snapshot opponent: greedy over the mean-weight

@@ -124,16 +124,43 @@ def test_dqn_per_shard_replay_contents_and_training(model_parallel):
     assert (prio[live] != 1.0).any()
 
 
-def test_rainbow_rejects_per_shard():
+def test_rainbow_per_shard_replay_contents_and_training():
+    """Rainbow rides the same per-shard layout (C51 loss core via the
+    generic pershard_train_batch driver) — same ring-union gate as DQN."""
     from gymothelloenv_tpu.train.rainbow_trainer import RainbowTrainer
 
-    with pytest.raises(ValueError, match="per-shard"):
-        RainbowTrainer(
+    def build(mesh, sharding):
+        return RainbowTrainer(
             EnvConfig(num_disk_as_reward=True),
-            RainbowConfig(batch_size=16, initial_replay_size=1),
+            RainbowConfig(batch_size=16, initial_replay_size=1,
+                          target_update_interval=128, n_step=2,
+                          num_atoms=11),
             ReplayConfig(capacity=2048, prioritized=True),
-            DQNRunConfig(num_envs=N_ENVS, replay_sharding="per-shard"),
-            log_fn=lambda *a: None, mesh=make_mesh(8))
+            DQNRunConfig(num_envs=N_ENVS, chunk_plies=6,
+                         init_rand_steps=2, seed=5,
+                         replay_sharding=sharding),
+            log_fn=lambda *a: None, mesh=mesh)
+
+    ref = build(make_mesh(1), "replicated")
+    ref.train(num_chunks=1, log_every=100)
+    ps = build(make_mesh(8), "per-shard")
+    ps.train(num_chunks=1, log_every=100)
+
+    assert int(ref.agent.t) == int(np.asarray(ps.agent.t)) > 0
+    sizes = np.asarray(ps.replay.size)
+    assert sizes.sum() == int(ref.replay.size) and (sizes > 0).all()
+    ref_rows = np.asarray(ref.replay.data)[:int(ref.replay.size)]
+    rows = np.concatenate([np.asarray(ps.replay.data)[s, :sizes[s]]
+                           for s in range(8)])
+
+    def sort_rows(r):
+        return r[np.lexsort(r.T[::-1])]
+
+    np.testing.assert_array_equal(sort_rows(ref_rows), sort_rows(rows))
+
+    ps.train(num_chunks=1, log_every=100)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(ps.agent.params))
 
 
 def test_rainbow_sharded_parity():
