@@ -97,6 +97,51 @@ def dqn_full_chunks(mesh, num_chunks: int = 2):
             int(fetch_scalar(tr.agent.t)))
 
 
+def dqn_pershard_chunks(mesh, num_chunks: int = 2):
+    """Per-shard replay DQN chunks on ``mesh`` — the scale-out replay
+    layout under the multi-process cluster: each of the 8 shards' rings
+    lives on its owning device (4 per host), inserts are local, and the
+    owner-multinomial sampling collectives cross DCN.  The pod mesh has
+    the same (8, 1) shape as the single-process 8-device mesh, so the
+    digests must match the single-process per-shard run exactly (same
+    global program)."""
+    from gymothelloenv_tpu.agents.dqn import DQNConfig
+    from gymothelloenv_tpu.agents.replay import ReplayConfig
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.dqn_trainer import (DQNRunConfig,
+                                                     DQNTrainer)
+    from gymothelloenv_tpu.utils.tpu import fetch_scalar
+
+    tr = DQNTrainer(
+        EnvConfig(num_disk_as_reward=True),
+        DQNConfig(batch_size=16, initial_replay_size=1,
+                  target_update_interval=128, n_step=2, double=True,
+                  dueling=True, train_interval=4),
+        ReplayConfig(capacity=2048, prioritized=True),
+        DQNRunConfig(num_envs=16, chunk_plies=6, init_rand_steps=2,
+                     seed=3, test_interval=10**9,
+                     replay_sharding="per-shard"),
+        log_fn=lambda *a: None, mesh=mesh)
+    tr.train(num_chunks=num_chunks, log_every=100)
+    # Replay leaves are sharded (one ring per device) — digest the
+    # GLOBAL ring contents via the addressable shards of each process
+    # plus a psum-style global reduce through a jitted sum (works on
+    # sharded arrays transparently).
+    import jax
+    import numpy as np
+
+    total_size = int(np.asarray(
+        jax.jit(lambda s: s.sum())(tr.replay.size).addressable_data(0)))
+    prio_sum = float(np.asarray(jax.jit(
+        lambda p: p.astype("float64").sum())(
+        tr.replay.priority).addressable_data(0)))
+    data_sum = int(np.asarray(jax.jit(
+        lambda d: d.astype("int64").sum())(
+        tr.replay.data).addressable_data(0)))
+    return (_digest(tr.agent.params), f"{prio_sum:.8e}", data_sum,
+            total_size, int(fetch_scalar(tr.agent.t)))
+
+
 def ts_full_chunks(mesh, num_chunks: int = 2):
     """Two sharded teacher-student chunks on ``mesh`` (the other
     BASELINE configs[4] family).  Returns (teacher_digest,
@@ -163,11 +208,14 @@ def main(pid: int, port: str):
     # the single-process run the test computes on its own 8-device mesh.
     dqn_p, dqn_prio, dqn_size, dqn_t = dqn_full_chunks(mesh)
     ts_t, ts_s = ts_full_chunks(mesh)
+    ps_p, ps_prio, ps_data, ps_size, ps_t = dqn_pershard_chunks(mesh)
     print(f"OK proc{pid} sum={got} grad={g_val} "
           f"ppo_value_loss={value_loss:.6f} "
           f"dqn_params={dqn_p} dqn_prio={dqn_prio} "
           f"dqn_size={dqn_size} dqn_t={dqn_t} "
-          f"ts_teacher={ts_t} ts_student={ts_s}", flush=True)
+          f"ts_teacher={ts_t} ts_student={ts_s} "
+          f"ps_params={ps_p} ps_prio={ps_prio} ps_data={ps_data} "
+          f"ps_size={ps_size} ps_t={ps_t}", flush=True)
 
 
 if __name__ == "__main__":

@@ -80,3 +80,18 @@ def test_two_process_distributed_cluster():
     ts_t, ts_s = ts_full_chunks(make_mesh(8))
     assert close(float(field(outs[0], "ts_teacher")), float(ts_t))
     assert close(float(field(outs[0], "ts_student")), float(ts_s))
+
+    # Per-shard replay across the cluster: the pod mesh is the same
+    # (8, 1) global program as this test's single-process 8-device mesh,
+    # so ring totals and params must agree (sampling streams included).
+    from multihost_worker import dqn_pershard_chunks
+
+    ps_p, ps_prio, ps_data, ps_size, ps_t = dqn_pershard_chunks(
+        make_mesh(8))
+    for name in ("ps_params", "ps_prio", "ps_data", "ps_size", "ps_t"):
+        assert field(outs[0], name) == field(outs[1], name), name
+    assert close(float(field(outs[0], "ps_params")), float(ps_p))
+    assert close(float(field(outs[0], "ps_prio")), float(ps_prio))
+    assert int(field(outs[0], "ps_data")) == ps_data
+    assert int(field(outs[0], "ps_size")) == ps_size > 0
+    assert int(field(outs[0], "ps_t")) == ps_t > 0
