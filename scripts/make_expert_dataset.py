@@ -35,6 +35,12 @@ def main(argv=None):
     parser.add_argument("--search-depth", type=int, default=2)
     parser.add_argument("--board-size", type=int, default=8)
     parser.add_argument("--init-rand-steps", type=int, default=10)
+    parser.add_argument("--include-openings", action="store_true",
+                        help="also record the random-opening plies as "
+                             "expert data (the round-2/3 datasets did — "
+                             "up to init-rand-steps/game of label noise; "
+                             "default now records only the expert's own "
+                             "decisions)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=str, required=True)
     args, _ = parser.parse_known_args(argv)
@@ -63,12 +69,15 @@ def main(argv=None):
                 moves = np.nonzero(np.asarray(s.legal))[0]
                 a = int(moves[rng.randint(len(moves))])
                 rand_left -= 1
+                record = args.include_openings
             else:
                 a = int(jact(k, s))
-            states[g, t] = np.asarray(jfeat(s)).reshape(-1)
-            actions[g, t] = a
+                record = True
+            if record:
+                states[g, t] = np.asarray(jfeat(s)).reshape(-1)
+                actions[g, t] = a
+                t += 1
             s = jstep(s, jnp.int32(a), cfg).state
-            t += 1
         lengths[g] = t
         if (g + 1) % 16 == 0:
             print(f"{g + 1}/{args.games} games", flush=True)
