@@ -161,6 +161,31 @@ def pershard_insert(mesh, stacked: Replay, cfg_per_shard: ReplayConfig,
     return block(stacked, em)
 
 
+def assert_ring_union_equal(ref_data, ref_size, shard_data, shard_sizes,
+                            name: str = "per-shard rings"):
+    """Correctness gate shared by tests/test_sharded_trainers.py and the
+    ``dryrun_multichip`` driver entry (same pattern as
+    ``sharding.assert_tree_allclose`` — one comparator so the gates
+    can't drift): after a chunk collected with identical params, the
+    union of the per-shard rings must hold exactly the replicated
+    ring's rows (local-insert routing loses/duplicates nothing), with
+    every shard non-empty."""
+    import numpy as np
+
+    ref_rows = np.asarray(ref_data)[:int(np.asarray(ref_size))]
+    sizes = np.asarray(shard_sizes)
+    assert sizes.sum() == ref_rows.shape[0] > 0, (name, sizes)
+    assert (sizes > 0).all(), (name, sizes)
+    rows = np.concatenate([np.asarray(shard_data)[s, :sizes[s]]
+                           for s in range(sizes.shape[0])])
+
+    def sort_rows(r):
+        return r[np.lexsort(r.T[::-1])]
+
+    np.testing.assert_array_equal(sort_rows(ref_rows), sort_rows(rows),
+                                  err_msg=name)
+
+
 def pershard_train_batch(state, stacked: Replay,
                          cfg_per_shard: ReplayConfig, batch_size: int,
                          loss_grads, optimizer, key: jax.Array, mesh):

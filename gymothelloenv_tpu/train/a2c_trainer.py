@@ -31,6 +31,11 @@ class A2CSelfPlayTrainer(PPOSelfPlayTrainer):
                          mesh=mesh)
         if self.run_cfg.recurrent:
             raise ValueError("recurrent policies are PPO-only (use PPOSelfPlayTrainer)")
+        if self.run_cfg.frame_stack > 1 or \
+                self.run_cfg.max_episode_plies > 0:
+            raise ValueError(
+                "frame_stack/max_episode_plies are PPO-only "
+                "(this trainer's collector is plain feed-forward)")
 
         # Replace the PPO optimizer/update with the A2C ones.
         self.optimizer = make_a2c_optimizer(self.a2c_cfg)

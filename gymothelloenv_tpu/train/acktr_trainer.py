@@ -68,6 +68,11 @@ class ACKTRSelfPlayTrainer(PPOSelfPlayTrainer):
                          mesh=mesh)
         if self.run_cfg.recurrent:
             raise ValueError("recurrent policies are PPO-only (use PPOSelfPlayTrainer)")
+        if self.run_cfg.frame_stack > 1 or \
+                self.run_cfg.max_episode_plies > 0:
+            raise ValueError(
+                "frame_stack/max_episode_plies are PPO-only "
+                "(this trainer's collector is plain feed-forward)")
 
         # Swap in the spec'd agent: the parent's ensure_initialized and
         # eval read self.params/self.apply_fn at call time, so replacing

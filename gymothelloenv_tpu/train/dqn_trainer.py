@@ -550,7 +550,7 @@ class DQNTrainer:
                     self.pool.pop(0)
             if (c + 1) % log_every == 0 or c == num_chunks - 1:
                 m = {k_: fetch_scalar(v) for k_, v in metrics.items()}
-                m["transitions_per_sec"] = fetch_scalar(metrics["transitions"]) \
+                m["transitions_per_sec"] = m["transitions"] \
                     / (time.time() - t0 + 1e-9)
                 self._log(self.chunk_count, m)
             if self.chunk_count % self.run_cfg.test_interval == 0:

@@ -48,6 +48,11 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
         super().__init__(**kw)   # mesh= passes through to the base class
         if self.run_cfg.recurrent:
             raise ValueError("recurrent policies are PPO-only (use PPOSelfPlayTrainer)")
+        if self.run_cfg.frame_stack > 1 or \
+                self.run_cfg.max_episode_plies > 0:
+            raise ValueError(
+                "frame_stack/max_episode_plies are PPO-only "
+                "(this trainer's collector is plain feed-forward)")
         self.gail_run = gail_run or GAILRunConfig()
         self.gail_cfg = gail_cfg or GAILConfig(gamma=self.ppo_cfg.gamma)
         self.expert = ExpertDataset(
@@ -197,12 +202,21 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
         bc_state = bc_opt.init(self.params)
 
         @jax.jit
-        def bc_step(params, bc_state, s, a, mask):
+        def bc_step(params, bc_state, s, a, mask, ok):
+            # Degenerate rows (terminal-padding states with no legal
+            # move) are down-weighted, NOT filtered: a boolean filter
+            # would give every batch a data-dependent shape (one jit
+            # compile per distinct count) and an all-degenerate batch a
+            # NaN mean.  Their mask is replaced by all-legal so the
+            # log-prob stays finite before the zero weight.
+            safe_mask = jnp.where(ok[:, None], mask, True)
+
             def loss_fn(params):
                 logits, _, _ = apply_fn(params, s)
                 lp = MaskedCategorical(logits=logits,
-                                       mask=mask).log_prob(a)
-                return -lp.mean()
+                                       mask=safe_mask).log_prob(a)
+                w = ok.astype(lp.dtype)
+                return -(lp * w).sum() / jnp.maximum(w.sum(), 1.0)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             upd, bc_state = bc_opt.update(grads, bc_state, params)
@@ -213,12 +227,12 @@ class GAILPPOTrainer(PPOSelfPlayTrainer):
             s = np.asarray(s, np.float32).reshape(-1, 4, B, B)
             a = np.asarray(a, np.int64).reshape(-1)
             mask = s[:, 3].reshape(len(s), -1) > 0.5
-            # Guard degenerate rows (terminal-padding states with no
-            # legal move would make the masked log-prob -inf).
-            ok = mask.any(axis=1)
+            # Valid rows: non-empty legal plane AND the stored action is
+            # legal under it (protects against noisy/padded datasets).
+            ok = mask.any(axis=1) & mask[np.arange(len(a)), a]
             self.params, bc_state, loss = bc_step(
-                self.params, bc_state, jnp.asarray(s[ok]),
-                jnp.asarray(a[ok]), jnp.asarray(mask[ok]))
+                self.params, bc_state, jnp.asarray(s),
+                jnp.asarray(a), jnp.asarray(mask), jnp.asarray(ok))
             if log_every and ((i + 1) % log_every == 0 or i == 0):
                 self._log(i + 1 - updates,   # negative steps = pre-GAIL
                           {"bc_loss": float(loss)})

@@ -424,3 +424,32 @@ def test_gail_bc_warmstart_fits_expert_actions(tmp_path):
     tr.train(1, log_every=1)
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree.leaves(tr.params))
+
+
+def test_non_ppo_trainers_reject_framestack_and_time_limits(tmp_path):
+    """frame_stack / max_episode_plies ride PPO-only machinery; the
+    sibling trainers must refuse them loudly (code-review finding,
+    round 3) just as they refuse `recurrent`."""
+    import pytest
+
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.a2c_trainer import A2CSelfPlayTrainer
+    from gymothelloenv_tpu.train.acktr_trainer import ACKTRSelfPlayTrainer
+    from gymothelloenv_tpu.train.gail_trainer import GAILPPOTrainer
+    from gymothelloenv_tpu.train.ppo_trainer import SelfPlayConfig
+
+    rng = np.random.RandomState(0)
+    expert = str(tmp_path / "e.npz")
+    np.savez(expert, states=rng.rand(2, 8, 256).astype(np.float32),
+             actions=rng.randint(0, 64, (2, 8)),
+             lengths=np.full(2, 8, np.int64))
+
+    for bad in (dict(frame_stack=2), dict(max_episode_plies=5)):
+        cfg = SelfPlayConfig(num_envs=8, num_steps=4, **bad)
+        env = EnvConfig(num_disk_as_reward=True)
+        with pytest.raises(ValueError, match="PPO-only"):
+            A2CSelfPlayTrainer(env_cfg=env, run_cfg=cfg)
+        with pytest.raises(ValueError, match="PPO-only"):
+            ACKTRSelfPlayTrainer(env_cfg=env, run_cfg=cfg)
+        with pytest.raises(ValueError, match="PPO-only"):
+            GAILPPOTrainer(expert, env_cfg=env, run_cfg=cfg)

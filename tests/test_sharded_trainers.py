@@ -67,8 +67,6 @@ def test_dqn_sharded_parity(model_parallel, prioritized):
 
 
 def _dqn_pershard_trainer(mesh):
-    import dataclasses
-
     env_cfg = EnvConfig(num_disk_as_reward=True)
     dqn_cfg = DQNConfig(batch_size=16, initial_replay_size=1,
                         target_update_interval=128, n_step=2,
@@ -77,7 +75,6 @@ def _dqn_pershard_trainer(mesh):
     run_cfg = DQNRunConfig(num_envs=N_ENVS, chunk_plies=6,
                            init_rand_steps=2, seed=3,
                            replay_sharding="per-shard")
-    del dataclasses
     return DQNTrainer(env_cfg, dqn_cfg, rb_cfg, run_cfg,
                       log_fn=lambda *a: None, mesh=mesh)
 
@@ -97,20 +94,14 @@ def test_dqn_per_shard_replay_contents_and_training(model_parallel):
     ps = _dqn_pershard_trainer(mesh)
     ps.train(num_chunks=1, log_every=100)
 
+    from gymothelloenv_tpu.parallel.replay_shards import (
+        assert_ring_union_equal)
+
     S = mesh.shape["data"]
     assert int(ref.agent.t) == int(np.asarray(ps.agent.t)) > 0
-    sizes = np.asarray(ps.replay.size)
-    assert sizes.shape == (S,) and sizes.sum() == int(ref.replay.size)
-    assert (sizes > 0).all(), sizes     # inserts actually stayed local
-
-    ref_rows = np.asarray(ref.replay.data)[:int(ref.replay.size)]
-    shard_rows = np.concatenate([
-        np.asarray(ps.replay.data)[s, :sizes[s]] for s in range(S)])
-    # Multiset equality via lexicographic row sort.
-    def sort_rows(r):
-        return r[np.lexsort(r.T[::-1])]
-    np.testing.assert_array_equal(sort_rows(ref_rows),
-                                  sort_rows(shard_rows))
+    assert np.asarray(ps.replay.size).shape == (S,)
+    assert_ring_union_equal(ref.replay.data, ref.replay.size,
+                            ps.replay.data, ps.replay.size)
 
     # A second chunk trains on the per-shard path end-to-end.
     ps.train(num_chunks=1, log_every=100)
@@ -146,17 +137,12 @@ def test_rainbow_per_shard_replay_contents_and_training():
     ps = build(make_mesh(8), "per-shard")
     ps.train(num_chunks=1, log_every=100)
 
+    from gymothelloenv_tpu.parallel.replay_shards import (
+        assert_ring_union_equal)
+
     assert int(ref.agent.t) == int(np.asarray(ps.agent.t)) > 0
-    sizes = np.asarray(ps.replay.size)
-    assert sizes.sum() == int(ref.replay.size) and (sizes > 0).all()
-    ref_rows = np.asarray(ref.replay.data)[:int(ref.replay.size)]
-    rows = np.concatenate([np.asarray(ps.replay.data)[s, :sizes[s]]
-                           for s in range(8)])
-
-    def sort_rows(r):
-        return r[np.lexsort(r.T[::-1])]
-
-    np.testing.assert_array_equal(sort_rows(ref_rows), sort_rows(rows))
+    assert_ring_union_equal(ref.replay.data, ref.replay.size,
+                            ps.replay.data, ps.replay.size)
 
     ps.train(num_chunks=1, log_every=100)
     assert all(np.isfinite(np.asarray(x)).all()
