@@ -41,6 +41,12 @@ def main(argv=None):
                         help="total games; half as black, half as white")
     parser.add_argument("--board-size", type=int, default=8)
     parser.add_argument("--init-rand-steps", type=int, default=10)
+    parser.add_argument("--lookahead", action="store_true",
+                        help="1-ply value lookahead at eval time: expand "
+                             "every legal move, score children with the "
+                             "value head (terminal children with the true "
+                             "reward), play the argmax.  Feed-forward "
+                             "checkpoints only")
     parser.add_argument("--seed", type=int, default=0)
     args, _ = parser.parse_known_args(argv)
 
@@ -66,6 +72,14 @@ def main(argv=None):
     n = args.games // 2
 
     recurrent = getattr(apply_fn, "recurrent", False)
+    if args.lookahead and recurrent:
+        raise NotImplementedError(
+            "--lookahead needs a feed-forward checkpoint (child states "
+            "have no hidden-state thread)")
+    # Lookahead scores children on the TRAINING reward scale so terminal
+    # rewards and value estimates are commensurable.
+    lookahead_cfg = EnvConfig(board_size=args.board_size,
+                              num_disk_as_reward=True)
 
     @functools.partial(jax.jit, static_argnames=())
     def run(params, key):
@@ -80,7 +94,13 @@ def main(argv=None):
                 k2, cfg, params, apply_fn, opp, n, 1,
                 args.init_rand_steps, apply_fn.hidden_size)
         else:
-            net_act = net_tournament_policy(params, apply_fn)
+            if args.lookahead:
+                from gymothelloenv_tpu.train.ppo_trainer import (
+                    net_lookahead_policy)
+                net_act = net_lookahead_policy(params, apply_fn,
+                                               lookahead_cfg)
+            else:
+                net_act = net_tournament_policy(params, apply_fn)
             as_black = play_games_impl(k1, cfg, net_act, opp, n,
                                        args.init_rand_steps)
             as_white = play_games_impl(k2, cfg, opp, net_act, n,

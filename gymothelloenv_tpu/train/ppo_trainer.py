@@ -305,6 +305,39 @@ def chain_train_steps(step, chain: int):
     return chained
 
 
+def net_lookahead_policy(params, apply_fn, cfg: EnvConfig):
+    """Eval-time 1-ply value lookahead (a policy-improvement operator the
+    reference has no counterpart for): expand every legal move with the
+    exact rules engine, score the child with the trained VALUE head
+    (negated when the turn passes to the opponent — the head estimates
+    return for the player to move), and take terminal children's true
+    reward.  One batched forward over all ``A`` children per decision.
+
+    ``cfg`` must use the TRAINING reward scale (``num_disk_as_reward=True``
+    for every trainer here) so terminal rewards and value estimates are
+    commensurable.  Feed-forward nets only (child evaluation has no
+    hidden-state thread).  Motivation: RESULTS.md round 3 pins the
+    self-play plateau (~65-70% vs maximin-2) on the scripted opponents'
+    search advantage; this hands the net the same 1-ply advantage at
+    eval time without retraining."""
+    from gymothelloenv_tpu.core import state as core
+
+    def act(key, state):
+        del key
+        actions = jnp.arange(cfg.num_actions, dtype=jnp.int32)
+        res = jax.vmap(lambda a: core.step(state, a, cfg))(actions)
+        children = res.state
+        obs = jax.vmap(make_state)(children).astype(jnp.float32)
+        _, v, _ = apply_fn(params, obs)
+        mover_v = jnp.where(children.turn == state.turn, v, -v)
+        vals = jnp.where(children.terminated, res.reward, mover_v)
+        return jnp.argmax(
+            jnp.where(state.legal, vals, -jnp.float32(1e9))
+        ).astype(jnp.int32)
+
+    return act
+
+
 def net_tournament_policy(params, apply_fn):
     """Wrap the net as a tournament ``act(key, state)`` policy (sampling,
     like ``Policy.act`` served over pipes in rule_base_game,

@@ -404,3 +404,59 @@ def test_chain_updates_mode():
     with pytest.raises(ValueError, match="chain_updates"):
         PPOSelfPlayTrainer(run_cfg=SelfPlayConfig(
             num_envs=8, chain_updates=2, opponent_pool=2))
+
+
+def test_net_lookahead_policy_matches_explicit_expansion():
+    """The 1-ply value-lookahead eval policy (round 3,
+    eval_checkpoint --lookahead) picks argmax over legal children of
+    [terminal reward | ±V(child)] — checked against an explicit python
+    expansion with a stub value head (mover-perspective disk diff), on
+    states drawn from a random game."""
+    import numpy as np
+
+    from gymothelloenv_tpu.core import state as core
+    from gymothelloenv_tpu.core.featurize import make_state
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.ppo_trainer import net_lookahead_policy
+
+    cfg = EnvConfig(num_disk_as_reward=True)
+
+    def stub_apply(params, obs):
+        # V = disk diff from the to-move player's perspective:
+        # (black - white) * turn, turn from the constant plane 2.
+        diff = obs[:, 0].sum((1, 2)) - obs[:, 1].sum((1, 2))
+        turn = 2.0 * obs[:, 2, 0, 0] - 1.0
+        return None, diff * turn, None
+
+    act = jax.jit(net_lookahead_policy(None, stub_apply, cfg))
+
+    key = jax.random.PRNGKey(3)
+    s = core.reset(cfg)
+    checked = 0
+    for ply in range(60):
+        if bool(s.terminated):
+            break
+        legal = np.flatnonzero(np.asarray(s.legal))
+        # Explicit expansion.
+        best_val, best_a = -1e18, None
+        for a in legal:
+            res = core.step(s, jnp.int32(a), cfg)
+            child = res.state
+            if bool(child.terminated):
+                val = float(res.reward)
+            else:
+                obs = np.asarray(make_state(child), np.float32)[None]
+                _, v, _ = stub_apply(None, jnp.asarray(obs))
+                v = float(v[0])
+                val = v if int(child.turn) == int(s.turn) else -v
+            if val > best_val:
+                best_val, best_a = val, int(a)
+        got = int(act(key, s))
+        assert got == best_a, (ply, got, best_a, legal)
+        checked += 1
+        # Advance with a random legal move (not the lookahead move, so
+        # we visit diverse states).
+        key, k = jax.random.split(key)
+        a = int(legal[jax.random.randint(k, (), 0, len(legal))])
+        s = core.step(s, jnp.int32(a), cfg).state
+    assert checked >= 30
