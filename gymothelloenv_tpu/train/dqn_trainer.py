@@ -583,7 +583,7 @@ class DQNTrainer:
     def save(self, path: str):
         save_checkpoint(path, self.chunk_count, self.agent.params,
                         self.agent.opt_state,
-                        extra={"t": int(self.agent.t)})
+                        extra={"t": int(fetch_scalar(self.agent.t))})
 
     def load(self, path: str):
         step, params, opt_state, extra = load_checkpoint(

@@ -31,7 +31,11 @@ def save_checkpoint(path: str, step: int, params: Any, opt_state: Any = None,
         "step": step,
         "params": _host_copy(params),
         "opt_state": _host_copy(opt_state),
-        "extra": extra or {},
+        # Host-copy device arrays hiding in extra (e.g. simple-PPO's
+        # vecnorm state) so saving is pod-safe; plain values pass through.
+        "extra": jax.tree.map(
+            lambda x: _host_copy(x) if isinstance(x, jax.Array) else x,
+            extra or {}),
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp"
