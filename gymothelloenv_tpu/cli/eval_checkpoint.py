@@ -45,66 +45,105 @@ def main(argv=None):
                         help="1-ply value lookahead at eval time: expand "
                              "every legal move, score children with the "
                              "value head (terminal children with the true "
-                             "reward), play the argmax.  Feed-forward "
-                             "checkpoints only")
+                             "reward), play the argmax")
+    parser.add_argument("--lookahead-depth", type=int, default=1,
+                        choices=(1, 2),
+                        help="value-lookahead search depth (2 = full "
+                             "opponent-reply minimax over A^2 "
+                             "grandchildren; implies --lookahead)")
+    parser.add_argument("--expand-chunk", type=int, default=0,
+                        help="game-chunk size for deep-search policies "
+                             "(lookahead / maximin-2+): 0 = auto from "
+                             "the memory cost model, <0 = unchunked")
     parser.add_argument("--seed", type=int, default=0)
     args, _ = parser.parse_known_args(argv)
+    if args.lookahead_depth > 1:
+        args.lookahead = True
 
     cfg = EnvConfig(board_size=args.board_size)
     params, apply_fn, desc = load_eval_policy(args.load, cfg)
     print(f"loaded {args.load} ({desc})")
 
     opp_spec = args.opponent
+    opp_params = opp_apply = None
     if opp_spec.startswith("ckpt:") or opp_spec.endswith(
             (".msgpack", ".pth", ".pt")):
         # Head-to-head: the opponent is another checkpoint (native or
-        # reference torch), sampling like the protagonist.
+        # reference torch, feed-forward or recurrent), sampling like the
+        # protagonist.
         opp_path = opp_spec.removeprefix("ckpt:")
         opp_params, opp_apply, opp_desc = load_eval_policy(opp_path, cfg)
         print(f"opponent checkpoint {opp_path} ({opp_desc})")
-        if getattr(opp_apply, "recurrent", False):
-            raise NotImplementedError(
-                "recurrent checkpoints are supported as the protagonist "
-                "(--load), not as the head-to-head opponent")
-        opp = net_tournament_policy(opp_params, opp_apply)
-    else:
-        opp = policy_from_spec(opp_spec, cfg)
     n = args.games // 2
 
     recurrent = getattr(apply_fn, "recurrent", False)
-    if args.lookahead and recurrent:
-        raise NotImplementedError(
-            "--lookahead needs a feed-forward checkpoint (child states "
-            "have no hidden-state thread)")
+    opp_recurrent = getattr(opp_apply, "recurrent", False)
     # Lookahead scores children on the TRAINING reward scale so terminal
     # rewards and value estimates are commensurable.
     lookahead_cfg = EnvConfig(board_size=args.board_size,
                               num_disk_as_reward=True)
 
+    from gymothelloenv_tpu.policies.chunking import (live_cost_of_spec,
+                                                     maybe_chunked)
+    from gymothelloenv_tpu.train.ppo_trainer import (
+        net_lookahead_cell_recurrent, net_lookahead_policy,
+        net_sampling_cell, play_games_recurrent)
+
+    if opp_apply is not None:
+        opp = (None if opp_recurrent
+               else net_tournament_policy(opp_params, opp_apply))
+    else:
+        opp = policy_from_spec(opp_spec, cfg, num_games=n,
+                               expand_chunk=args.expand_chunk)
+
+    # Protagonist as a stateless policy (feed-forward paths).
+    if not recurrent:
+        if args.lookahead:
+            net_act = net_lookahead_policy(params, apply_fn,
+                                           lookahead_cfg,
+                                           depth=args.lookahead_depth)
+            net_act = maybe_chunked(
+                net_act, n,
+                live_cost_of_spec("",
+                                  lookahead_depth=args.lookahead_depth),
+                chunk_override=args.expand_chunk)
+        else:
+            net_act = net_tournament_policy(params, apply_fn)
+
     @functools.partial(jax.jit, static_argnames=())
     def run(params, key):
+        def play(k, prot_color):
+            """One half of the games with the protagonist on
+            ``prot_color``; returns winners."""
+            if recurrent:
+                cell = (net_lookahead_cell_recurrent(
+                            params, apply_fn, lookahead_cfg,
+                            depth=args.lookahead_depth)
+                        if args.lookahead else None)
+                opp_cell = (net_sampling_cell(opp_params, opp_apply)
+                            if opp_recurrent else None)
+                return play_games_recurrent(
+                    k, cfg, params, apply_fn, opp, n, prot_color,
+                    args.init_rand_steps, apply_fn.hidden_size,
+                    act_cell=cell, opp_cell=opp_cell,
+                    opp_hidden_size=(opp_apply.hidden_size
+                                     if opp_recurrent else 0))
+            if opp_recurrent:
+                # Feed-forward protagonist vs recurrent opponent: run the
+                # stateful runner with the roles swapped (the recurrent
+                # side is its "net").
+                return play_games_recurrent(
+                    k, cfg, opp_params, opp_apply, net_act, n,
+                    -prot_color, args.init_rand_steps,
+                    opp_apply.hidden_size)
+            black, white = ((net_act, opp) if prot_color == -1
+                            else (opp, net_act))
+            return play_games_impl(k, cfg, black, white, n,
+                                   args.init_rand_steps)
+
         k1, k2 = jax.random.split(key)
-        if recurrent:
-            from gymothelloenv_tpu.train.ppo_trainer import (
-                play_games_recurrent)
-            as_black = play_games_recurrent(
-                k1, cfg, params, apply_fn, opp, n, -1,
-                args.init_rand_steps, apply_fn.hidden_size)
-            as_white = play_games_recurrent(
-                k2, cfg, params, apply_fn, opp, n, 1,
-                args.init_rand_steps, apply_fn.hidden_size)
-        else:
-            if args.lookahead:
-                from gymothelloenv_tpu.train.ppo_trainer import (
-                    net_lookahead_policy)
-                net_act = net_lookahead_policy(params, apply_fn,
-                                               lookahead_cfg)
-            else:
-                net_act = net_tournament_policy(params, apply_fn)
-            as_black = play_games_impl(k1, cfg, net_act, opp, n,
-                                       args.init_rand_steps)
-            as_white = play_games_impl(k2, cfg, opp, net_act, n,
-                                       args.init_rand_steps)
+        as_black = play(k1, -1)
+        as_white = play(k2, 1)
         wins = (as_black == -1).sum() + (as_white == 1).sum()
         draws = (as_black == 0).sum() + (as_white == 0).sum()
         return wins, draws

@@ -16,15 +16,29 @@ import jax
 
 from gymothelloenv_tpu.core.state import EnvConfig
 from gymothelloenv_tpu.policies import make_policy
+from gymothelloenv_tpu.policies.chunking import (live_cost_of_spec,
+                                                 maybe_chunked)
 from gymothelloenv_tpu.train import play_games, tally
 
 DEFAULT_LINEUP = ("rand", "greedy", "maximin-1", "maximin-2", "maximin-3")
 
 
-def policy_from_spec(spec: str, cfg: EnvConfig):
+def policy_from_spec(spec: str, cfg: EnvConfig,
+                     num_games: int = 0, expand_chunk: int = -1):
+    """``num_games`` > 0 enables memory-bounded evaluation: deep searches
+    are lax.map-chunked so any game count fits on device (the reference's
+    per-game recursion never OOMs either, simple_policies.py:111-155).
+    ``expand_chunk``: 0 = auto from the cost model, >0 = forced chunk,
+    <0 = full vmap (the old behavior)."""
     if spec.startswith("maximin-"):
-        return make_policy("maximin", cfg, search_depth=int(spec.split("-")[1]))
-    return make_policy(spec, cfg)
+        act = make_policy("maximin", cfg,
+                          search_depth=int(spec.split("-")[1]))
+    else:
+        act = make_policy(spec, cfg)
+    if num_games > 0:
+        act = maybe_chunked(act, num_games, live_cost_of_spec(spec),
+                            chunk_override=expand_chunk)
+    return act
 
 
 def main(argv=None):
@@ -39,6 +53,10 @@ def main(argv=None):
                         help="single pairing: black policy spec")
     parser.add_argument("--white", type=str, default=None)
     parser.add_argument("--lineup", type=str, default=",".join(DEFAULT_LINEUP))
+    parser.add_argument("--expand-chunk", type=int, default=0,
+                        help="game-chunk size for deep-search policies "
+                             "(0 = auto from the memory cost model, "
+                             "<0 = unchunked full vmap)")
     args, _ = parser.parse_known_args(argv)
 
     cfg = EnvConfig(board_size=args.board_size)
@@ -54,7 +72,9 @@ def main(argv=None):
 
     def get(spec):
         if spec not in policies:
-            policies[spec] = policy_from_spec(spec, cfg)
+            policies[spec] = policy_from_spec(
+                spec, cfg, num_games=args.games,
+                expand_chunk=args.expand_chunk)
         return policies[spec]
 
     results = {}

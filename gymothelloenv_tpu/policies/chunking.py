@@ -1,0 +1,113 @@
+"""Memory-bounded batched policy evaluation.
+
+The deep scripted searches (maximin-2/3) and the net value-lookahead
+operators materialize up to ``A^2 = 4096`` child boards (plus featurized
+observations and trunk activations) per game per decision.  A plain
+``vmap`` over the game batch multiplies that by the number of games, which
+exceeds device memory above a few hundred games (RESULTS.md round-3
+caveat: maximin-3 vmaps died above ~125 games; 400-game lookahead ×
+maximin-3 crashed the TPU worker).  The reference never has this problem
+because its depth-k search is a per-game Python recursion
+(/root/reference/simple_policies.py:111-155) — slow but O(depth) memory.
+
+This module restores arbitrary-game-count robustness the TPU-native way:
+``chunked_batched`` lifts a per-game ``act(key, state)`` policy to a
+batched ``act(keys, states)`` that pads the game batch to a multiple of
+``chunk`` and runs ``lax.map`` over chunk-sized vmapped slabs, so live
+memory is ``chunk × per-game expansion`` regardless of the batch size.
+The tournament runner calls batched policies directly (see
+``train.tournament._policy_call``); everything stays inside one jitted
+program — no host-side game chunking needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Rough live-memory cost (in "board units" ~ one 8x8 child board plus its
+# share of plane intermediates / activations) per game per decision, used
+# to pick chunk sizes.  Calibrated against observed limits: maximin-3
+# vmaps were safe at 125 games (125 x 4096 units) and lookahead-1 at 200
+# games; we budget well under both.
+COST_CHEAP = 1            # rand / greedy / plain net forward
+COST_MAXIMIN_1 = 64       # one ply of children
+COST_MAXIMIN_DEEP = 4096  # depth>=2: 64x64 live boards (deeper levels
+#                           serialize through lax.map, same live set)
+COST_LOOKAHEAD_1 = 2048   # 64 children + featurized obs + trunk acts
+COST_LOOKAHEAD_2 = 65536  # 64x the above
+
+# Live-unit budget per policy call.  262144 units => chunk 64 for
+# maximin-2/3 (16x under the observed 125-game limit incl. the case where
+# both sides of a pairing are deep searches).
+LIVE_BUDGET = 1 << 18
+
+
+def live_cost_of_spec(spec: str, lookahead_depth: int = 0) -> int:
+    """Per-game live cost of a policy spec string (tournament CLI specs:
+    ``rand | greedy | maximin-<k> | ckpt paths``).  ``lookahead_depth``
+    overrides for net checkpoints evaluated with ``--lookahead``."""
+    if lookahead_depth >= 2:
+        return COST_LOOKAHEAD_2
+    if lookahead_depth == 1:
+        return COST_LOOKAHEAD_1
+    if spec.startswith("maximin-"):
+        depth = int(spec.split("-")[1])
+        if depth <= 1:
+            return COST_MAXIMIN_1
+        return COST_MAXIMIN_DEEP
+    return COST_CHEAP
+
+
+def auto_chunk(num_games: int, cost: int, budget: int = LIVE_BUDGET) -> int:
+    """Largest chunk that keeps ``chunk * cost`` within ``budget`` (at
+    least 1); 0 means "no chunking needed" (the full batch fits)."""
+    if num_games * cost <= budget:
+        return 0
+    return max(1, budget // cost)
+
+
+def chunked_batched(act, chunk: int):
+    """Lift a per-game ``act(key, state) -> action`` policy into a batched
+    ``act(keys, states) -> actions`` evaluated ``chunk`` games at a time
+    under ``lax.map`` (memory-bounded; the batch is padded with copies of
+    its head to a chunk multiple, and the padding's outputs dropped).
+
+    The returned function carries ``batched = True`` so the tournament
+    runner calls it on the whole batch instead of vmapping it.
+    """
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+
+    def batched_act(keys, states):
+        n = keys.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            keys_p = jnp.concatenate([keys, keys[:pad]], axis=0)
+            states_p = jax.tree.map(
+                lambda x: jnp.concatenate([x, x[:pad]], axis=0), states)
+        else:
+            keys_p, states_p = keys, states
+        m = (n + pad) // chunk
+        keys_r = keys_p.reshape((m, chunk) + keys_p.shape[1:])
+        states_r = jax.tree.map(
+            lambda x: x.reshape((m, chunk) + x.shape[1:]), states_p)
+        out = jax.lax.map(lambda kc: jax.vmap(act)(kc[0], kc[1]),
+                          (keys_r, states_r))
+        return out.reshape(-1)[:n]
+
+    batched_act.batched = True
+    return batched_act
+
+
+def maybe_chunked(act, num_games: int, cost: int,
+                  chunk_override: int = 0, budget: int = LIVE_BUDGET):
+    """Apply ``chunked_batched`` when the cost model says the full-batch
+    vmap would exceed the live budget.  ``chunk_override``: >0 forces that
+    chunk size, <0 disables chunking, 0 = auto."""
+    if chunk_override < 0:
+        return act
+    chunk = chunk_override or auto_chunk(num_games, cost, budget)
+    if chunk == 0 or chunk >= num_games:
+        return act
+    return chunked_batched(act, chunk)

@@ -92,6 +92,18 @@ class SelfPlayConfig:
     # would force a recompile); incompatible with opponent_pool (the
     # pool re-draws a snapshot per update on host).
     chain_updates: int = 1
+    # Search-bootstrapped collection (round-4 probe, VERDICT item 5):
+    # the protagonist ACTS with the 1-ply value-lookahead operator
+    # (executed + stored actions = lookahead choice; the raw policy's
+    # log-prob of that action is stored so PPO ratios start at 1), while
+    # the update trains the RAW net — pair with PPOConfig.distill for
+    # approximate policy iteration, or leave the clipped surrogate for
+    # PPO on the induced distribution.  Opponent (mirror/pool) plies
+    # keep sampling from the raw policy.  Feed-forward only.
+    lookahead_collect: bool = False
+    # Softmax temperature over child values for the lookahead override
+    # (0 = argmax; the value scale is the training disk-diff scale ±64).
+    lookahead_tau: float = 0.0
 
 
 def make_network(cfg: EnvConfig, recurrent: bool = False,
@@ -158,20 +170,95 @@ def make_apply_fn_framestack(net: PolicyNet, nstack: int, cfg: EnvConfig):
     return apply_fn
 
 
+def net_sampling_cell(params, apply_fn):
+    """Batched stateful tournament actor ``(keys, states, h) -> (actions,
+    h_new)``: advance the recurrent core on the batch observations and
+    sample the masked logits — the recurrent analogue of
+    :func:`net_tournament_policy` (reference GRU Policy.act,
+    model.py:60-98 + _forward_gru :230-285)."""
+    def cell(keys, states, h):
+        n = keys.shape[0]
+        obs = jax.vmap(make_state)(states)
+        logits, _, h_new = apply_fn(params, obs, h,
+                                    jnp.ones((n,), jnp.float32))
+        a = jax.vmap(lambda lg, m, k: MaskedCategorical(
+            logits=lg, mask=m).sample(k))(logits, states.legal, keys)
+        return a, h_new
+    return cell
+
+
+def net_lookahead_cell_recurrent(params, apply_fn, cfg: EnvConfig,
+                                 depth: int = 1):
+    """Recurrent 1-ply value lookahead: carry the GRU hidden through the
+    expansion.  The hidden first consumes the CURRENT observation
+    (``h_cur``), then every child is scored by one batched core step from
+    ``h_cur`` over the child observation — the value head sees the child
+    with the game's full history.  The actor's own hidden thread advances
+    to ``h_cur`` exactly as the sampling cell's does, so the speculative
+    child hiddens never leak into the carried state.
+
+    Only depth 1 is supported: depth-2 would need ``A^2`` hidden threads
+    per game live at once (``A`` child hiddens each expanded ``A`` ways),
+    which multiplies the already-dominant GRU cost by 64x for a result
+    the feed-forward depth-2 path measures anyway (COMPONENTS.md)."""
+    from gymothelloenv_tpu.core import state as core
+
+    if depth != 1:
+        raise NotImplementedError(
+            "recurrent lookahead supports depth 1 only (depth-2 would "
+            "thread A^2 speculative hiddens per game)")
+    A = cfg.num_actions
+    NEG = -jnp.float32(1e9)
+
+    def cell(keys, states, h):
+        del keys
+        n = h.shape[0]
+        obs = jax.vmap(make_state)(states)
+        _, _, h_cur = apply_fn(params, obs, h,
+                               jnp.ones((n,), jnp.float32))
+        actions = jnp.arange(A, dtype=jnp.int32)
+        res = jax.vmap(lambda s: jax.vmap(
+            lambda a: core.step(s, a, cfg))(actions))(states)   # (n, A)
+        ch = res.state
+        ch_flat = jax.tree.map(
+            lambda x: x.reshape((n * A,) + x.shape[2:]), ch)
+        ch_obs = jax.vmap(make_state)(ch_flat).astype(jnp.float32)
+        h_rep = jnp.repeat(h_cur, A, axis=0)
+        _, v, _ = apply_fn(params, ch_obs, h_rep,
+                           jnp.ones((n * A,), jnp.float32))
+        v = v.reshape(n, A)
+        mover_v = jnp.where(ch.turn == states.turn[:, None], v, -v)
+        vals = jnp.where(ch.terminated, res.reward, mover_v)
+        a = jnp.argmax(jnp.where(states.legal, vals, NEG), axis=1)
+        return a.astype(jnp.int32), h_cur
+
+    return cell
+
+
 def play_games_recurrent(key, cfg: EnvConfig, params, apply_fn,
                          opp_policy, num_games: int, net_color: int,
                          init_rand_steps: int = 0,
-                         hidden_size: int = 512):
-    """Eval games for a recurrent net vs a scripted ``(key, state) ->
-    action`` policy, threading the net's GRU hidden per game.  The hidden
-    advances on every live ply where it is the net's turn — INCLUDING
-    random-opening plies, because the training collector advances
-    ``h_prot`` on every protagonist decision (the random override
-    replaces the executed action, not the decision;
-    self_play._rec_protagonist_act).  Returns winners int8."""
+                         hidden_size: int = 512,
+                         act_cell=None, opp_cell=None,
+                         opp_hidden_size: int = 0):
+    """Eval games for a recurrent net vs an opponent, threading the net's
+    GRU hidden per game.  The hidden advances on every live ply where it
+    is the net's turn — INCLUDING random-opening plies, because the
+    training collector advances ``h_prot`` on every protagonist decision
+    (the random override replaces the executed action, not the decision;
+    self_play._rec_protagonist_act).  Returns winners int8.
+
+    ``act_cell``: optional batched stateful actor ``(keys, states, h) ->
+    (actions, h_new)`` replacing the default sampling cell (e.g. the
+    recurrent lookahead).  ``opp_cell``/``opp_hidden_size``: when given,
+    the OPPONENT is stateful too (a second recurrent checkpoint as the
+    head-to-head opponent), with its own hidden thread advanced on its
+    own live turns; otherwise ``opp_policy`` is a stateless ``(key,
+    state) -> action`` policy."""
     from gymothelloenv_tpu.core import state as core
     from gymothelloenv_tpu.policies.scripted import random_action
-    from gymothelloenv_tpu.train.tournament import draw_max_rand_steps
+    from gymothelloenv_tpu.train.tournament import (_policy_call,
+                                                    draw_max_rand_steps)
 
     max_plies = cfg.board_size * cfg.board_size
     game_keys = jax.random.split(key, num_games + 1)
@@ -180,30 +267,34 @@ def play_games_recurrent(key, cfg: EnvConfig, params, apply_fn,
     rand_left = jax.vmap(draw_max_rand_steps, in_axes=(0, None))(
         game_keys[1:], init_rand_steps)
     h = jnp.zeros((num_games, hidden_size), jnp.float32)
+    h_opp = jnp.zeros((num_games, opp_hidden_size), jnp.float32)
+    cell = act_cell if act_cell is not None else net_sampling_cell(
+        params, apply_fn)
 
     def cond(carry):
         states = carry[0]
-        return (~states.terminated.all()) & (carry[4] < max_plies)
+        return (~states.terminated.all()) & (carry[5] < max_plies)
 
     def body(carry):
-        states, rand_left, key, h, ply = carry
+        states, rand_left, key, h, h_opp, ply = carry
         key, k_rand, k_net, k_opp = jax.random.split(key, 4)
         n = num_games
-        obs = jax.vmap(make_state)(states)
-        logits, _, h_new = apply_fn(params, obs, h,
-                                    jnp.ones((n,), jnp.float32))
-        a_net = jax.vmap(lambda lg, m, k: MaskedCategorical(
-            logits=lg, mask=m).sample(k))(
-            logits, states.legal, jax.random.split(k_net, n))
-        a_opp = jax.vmap(opp_policy)(jax.random.split(k_opp, n), states)
+        a_net, h_new = cell(jax.random.split(k_net, n), states, h)
+        if opp_cell is None:
+            a_opp = _policy_call(opp_policy, jax.random.split(k_opp, n),
+                                 states)
+            h_opp_new = h_opp
+        else:
+            a_opp, h_opp_new = opp_cell(jax.random.split(k_opp, n),
+                                        states, h_opp)
         a_rand = jax.vmap(random_action)(jax.random.split(k_rand, n),
                                          states.legal)
         net_turn = states.turn == net_color
         action = jnp.where(rand_left > 0, a_rand,
                            jnp.where(net_turn, a_net, a_opp))
         live = ~states.terminated
-        consumed = net_turn & live
-        h = jnp.where(consumed[:, None], h_new, h)
+        h = jnp.where((net_turn & live)[:, None], h_new, h)
+        h_opp = jnp.where((~net_turn & live)[:, None], h_opp_new, h_opp)
 
         stepped = jax.vmap(core.step, in_axes=(0, 0, None))(
             states, action, cfg)
@@ -213,10 +304,10 @@ def play_games_recurrent(key, cfg: EnvConfig, params, apply_fn,
             stepped.state, states)
         new_rand_left = jnp.where(live, jnp.maximum(rand_left - 1, 0),
                                   rand_left)
-        return new_states, new_rand_left, key, h, ply + 1
+        return new_states, new_rand_left, key, h, h_opp, ply + 1
 
-    states, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (states, rand_left, key, h, jnp.int32(0)))
+    states, _, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (states, rand_left, key, h, h_opp, jnp.int32(0)))
     return states.winner
 
 
@@ -305,35 +396,75 @@ def chain_train_steps(step, chain: int):
     return chained
 
 
-def net_lookahead_policy(params, apply_fn, cfg: EnvConfig):
-    """Eval-time 1-ply value lookahead (a policy-improvement operator the
-    reference has no counterpart for): expand every legal move with the
-    exact rules engine, score the child with the trained VALUE head
-    (negated when the turn passes to the opponent — the head estimates
-    return for the player to move), and take terminal children's true
-    reward.  One batched forward over all ``A`` children per decision.
+def net_lookahead_policy(params, apply_fn, cfg: EnvConfig,
+                         depth: int = 1):
+    """Eval-time value lookahead (a policy-improvement operator the
+    reference has no counterpart for): expand legal moves with the exact
+    rules engine, score leaves with the trained VALUE head (negated when
+    the leaf's player-to-move is the opponent — the head estimates return
+    for the player to move), take terminal leaves' true reward, and back
+    up max/min by whose turn each node is (the engine resolves passes
+    inside ``step``, so a child can be a max node again).
+
+    ``depth`` = 1: one batched forward over the ``A`` children per
+    decision.  ``depth`` = 2: expand all ``A x A`` grandchildren, ONE
+    forward over the flattened batch, opponent (or forced-pass mover)
+    best-reply backup at each child.  Deeper search belongs to a chunked
+    generalization; the memory story for large game batches is handled by
+    wrapping this policy with ``policies.chunking.chunked_batched``.
 
     ``cfg`` must use the TRAINING reward scale (``num_disk_as_reward=True``
     for every trainer here) so terminal rewards and value estimates are
     commensurable.  Feed-forward nets only (child evaluation has no
     hidden-state thread).  Motivation: RESULTS.md round 3 pins the
     self-play plateau (~65-70% vs maximin-2) on the scripted opponents'
-    search advantage; this hands the net the same 1-ply advantage at
+    search advantage; this hands the net the same search advantage at
     eval time without retraining."""
     from gymothelloenv_tpu.core import state as core
 
+    if depth not in (1, 2):
+        raise ValueError(f"lookahead depth must be 1 or 2, got {depth}")
+    A = cfg.num_actions
+    NEG = -jnp.float32(1e9)
+
+    def leaf_values(states_flat, rewards_flat, root_turn):
+        """Root-perspective values of a flat batch of leaf nodes."""
+        obs = jax.vmap(make_state)(states_flat).astype(jnp.float32)
+        _, v, _ = apply_fn(params, obs)
+        mover_v = jnp.where(states_flat.turn == root_turn, v, -v)
+        return jnp.where(states_flat.terminated, rewards_flat, mover_v)
+
     def act(key, state):
         del key
-        actions = jnp.arange(cfg.num_actions, dtype=jnp.int32)
+        actions = jnp.arange(A, dtype=jnp.int32)
         res = jax.vmap(lambda a: core.step(state, a, cfg))(actions)
         children = res.state
-        obs = jax.vmap(make_state)(children).astype(jnp.float32)
-        _, v, _ = apply_fn(params, obs)
-        mover_v = jnp.where(children.turn == state.turn, v, -v)
-        vals = jnp.where(children.terminated, res.reward, mover_v)
+        if depth == 1:
+            vals = leaf_values(children, res.reward, state.turn)
+        else:
+            # Expand every child's replies: (A, A) grandchildren.
+            res2 = jax.vmap(lambda c: jax.vmap(
+                lambda b: core.step(c, b, cfg))(actions))(children)
+            gc_flat = jax.tree.map(
+                lambda x: x.reshape((A * A,) + x.shape[2:]), res2.state)
+            # Grandchild terminal rewards are from the CHILD mover's
+            # perspective; flip to root when the child mover is the
+            # opponent.
+            r2 = jnp.where(children.turn[:, None] == state.turn,
+                           res2.reward, -res2.reward).reshape(A * A)
+            gc_vals = leaf_values(gc_flat, r2, state.turn).reshape(A, A)
+            # Back up the child's best reply: max if the child node's
+            # mover is the root player (forced pass), else opponent min.
+            child_legal = children.legal            # (A, B*B) reply mask
+            is_max = children.turn == state.turn    # (A,)
+            best = jnp.where(
+                is_max,
+                jnp.max(jnp.where(child_legal, gc_vals, NEG), axis=1),
+                jnp.min(jnp.where(child_legal, gc_vals, -NEG), axis=1))
+            # Terminal children take their exact reward (root mover).
+            vals = jnp.where(children.terminated, res.reward, best)
         return jnp.argmax(
-            jnp.where(state.legal, vals, -jnp.float32(1e9))
-        ).astype(jnp.int32)
+            jnp.where(state.legal, vals, NEG)).astype(jnp.int32)
 
     return act
 
@@ -382,6 +513,10 @@ class PPOSelfPlayTrainer:
         time_limited = self.run_cfg.max_episode_plies > 0
         if time_limited and rec_like:
             raise ValueError("max_episode_plies is feed-forward only")
+        if self.run_cfg.lookahead_collect and (rec_like or time_limited):
+            raise ValueError("lookahead_collect needs the plain "
+                             "feed-forward collector (no recurrent/"
+                             "frame-stack/max_episode_plies)")
         if rec_like and self.run_cfg.num_envs % self.ppo_cfg.num_mini_batch:
             raise ValueError(
                 f"recurrent/frame-stack PPO needs num_envs "
@@ -428,6 +563,13 @@ class PPOSelfPlayTrainer:
         optimizer = self.optimizer
 
         use_pool = run_cfg_.opponent_pool > 0
+        act_override = None
+        if run_cfg_.lookahead_collect:
+            from gymothelloenv_tpu.train.self_play import (
+                make_lookahead_override)
+            act_override = make_lookahead_override(
+                env_cfg_, run_cfg_.lookahead_tau)
+        self._act_override = act_override
         mesh = self.mesh
         if mesh is not None:
             from gymothelloenv_tpu.parallel.sharding import (
@@ -474,7 +616,7 @@ class PPOSelfPlayTrainer:
                 sp_state, rollout, bootstrap = collect_rollout(
                     params, apply_fn, sp_state, env_cfg_,
                     run_cfg_.num_steps, run_cfg_.init_rand_steps,
-                    opp_params=opp_params)
+                    opp_params=opp_params, act_override=act_override)
                 if mesh is not None:
                     rollout = constrain_batch(rollout, mesh, axis=1,
                                               batch_size=N_)
@@ -572,10 +714,12 @@ class PPOSelfPlayTrainer:
                 self.sp_state = jax.jit(
                     selfplay_init, static_argnames=("apply_fn", "cfg",
                                                     "num_envs",
-                                                    "init_rand_steps"))(
+                                                    "init_rand_steps",
+                                                    "act_override"))(
                     self.params, apply_fn=self.apply_fn, key=k,
                     cfg=self.env_cfg, num_envs=self.run_cfg.num_envs,
                     init_rand_steps=self.run_cfg.init_rand_steps,
+                    act_override=self._act_override,
                     **kwargs)
                 if self.run_cfg.max_episode_plies > 0:
                     # The init state's pending decision is ply 1.

@@ -26,6 +26,16 @@ from gymothelloenv_tpu.policies.scripted import random_action
 PolicyFn = Callable[[jax.Array, OthelloState], jnp.ndarray]
 
 
+def _policy_call(act: PolicyFn, keys: jax.Array,
+                 states: OthelloState) -> jnp.ndarray:
+    """Evaluate a policy on a game batch.  Per-game policies are vmapped;
+    policies marked ``batched = True`` (e.g. memory-bounded chunked
+    searches from ``policies.chunking``) receive the whole batch."""
+    if getattr(act, "batched", False):
+        return act(keys, states)
+    return jax.vmap(act)(keys, states)
+
+
 def draw_max_rand_steps(key: jax.Array, init_rand_steps: int) -> jnp.ndarray:
     """``rnd.randint(0, init//2 + 1) * 2`` (othello.py:153-154)."""
     return 2 * jax.random.randint(key, (), 0, init_rand_steps // 2 + 1,
@@ -66,8 +76,10 @@ def play_games_impl(key: jax.Array,
 
         a_rand = jax.vmap(random_action)(jax.random.split(k_rand, n),
                                          states.legal)
-        a_black = jax.vmap(act_black)(jax.random.split(k_black, n), states)
-        a_white = jax.vmap(act_white)(jax.random.split(k_white, n), states)
+        a_black = _policy_call(act_black, jax.random.split(k_black, n),
+                               states)
+        a_white = _policy_call(act_white, jax.random.split(k_white, n),
+                               states)
         action = jnp.where(rand_left > 0, a_rand,
                            jnp.where(states.turn == -1, a_black, a_white))
 

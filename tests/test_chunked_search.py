@@ -1,0 +1,263 @@
+"""Round-4 search scalability + recurrent-eval tests.
+
+Covers the memory-bounded chunked policy evaluation
+(policies/chunking.py — the fix for the round-3 maximin-3 OOM
+regression), the depth-2 net value lookahead, and the generalized
+stateful tournament runner (recurrent head-to-head opponents, recurrent
+lookahead cell).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymothelloenv_tpu.core import state as core
+from gymothelloenv_tpu.core.featurize import make_state
+from gymothelloenv_tpu.core.state import EnvConfig
+from gymothelloenv_tpu.policies import maximin_policy, random_policy
+from gymothelloenv_tpu.policies.chunking import (auto_chunk,
+                                                 chunked_batched,
+                                                 live_cost_of_spec,
+                                                 maybe_chunked)
+from gymothelloenv_tpu.train import play_games
+from gymothelloenv_tpu.train.tournament import play_games_impl
+
+CFG = EnvConfig()
+RCFG = EnvConfig(num_disk_as_reward=True)
+
+
+def random_states(n, seed=0, plies=12):
+    """A batch of states reached by ``plies`` random legal moves."""
+    key = jax.random.PRNGKey(seed)
+
+    def gen(key):
+        s = core.reset(CFG)
+
+        def body(carry, k):
+            s = carry
+            logits = jnp.where(s.legal, 0.0, -jnp.inf)
+            a = jax.random.categorical(k, logits).astype(jnp.int32)
+            s2 = core.step(s, a, CFG).state
+            s = jax.tree.map(
+                lambda new, old: jnp.where(s.terminated, old, new), s2, s)
+            return s, None
+        s, _ = jax.lax.scan(body, s, jax.random.split(key, plies))
+        return s
+
+    return jax.vmap(gen)(jax.random.split(key, n))
+
+
+def test_chunked_maximin_matches_vmap():
+    """lax.map-chunked maximin-2 == full-vmap maximin-2, exactly, with
+    the padding path exercised (7 games, chunk 3)."""
+    states = random_states(7, seed=4)
+    keys = jax.random.split(jax.random.PRNGKey(0), 7)
+    act = maximin_policy(2, CFG)
+    plain = jax.jit(jax.vmap(act))(keys, states)
+    chunked = jax.jit(chunked_batched(act, 3))(keys, states)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(chunked))
+
+
+def test_chunked_tournament_matches_unchunked():
+    """play_games with a chunked deep search == the unchunked program at
+    the same key (the chunking must be invisible to results)."""
+    key = jax.random.PRNGKey(7)
+    mm2 = maximin_policy(2, CFG)
+    w_plain = play_games(key, CFG, mm2, random_policy, num_games=10,
+                         init_rand_steps=4)
+    w_chunk = jax.jit(lambda k: play_games_impl(
+        k, CFG, chunked_batched(mm2, 4), random_policy, 10, 4))(key)
+    np.testing.assert_array_equal(np.asarray(w_plain),
+                                  np.asarray(w_chunk))
+
+
+def test_auto_chunk_cost_model():
+    assert live_cost_of_spec("rand") == 1
+    assert live_cost_of_spec("greedy") == 1
+    assert live_cost_of_spec("maximin-1") == 64
+    assert live_cost_of_spec("maximin-2") == 4096
+    assert live_cost_of_spec("maximin-3") == 4096
+    assert live_cost_of_spec("", lookahead_depth=1) == 2048
+    assert live_cost_of_spec("", lookahead_depth=2) == 65536
+    # Small programs aren't chunked; big ones are bounded.
+    assert auto_chunk(50, 4096) == 0
+    assert auto_chunk(1000, 4096) == 64
+    assert auto_chunk(1000, 65536) == 4
+    assert auto_chunk(10**6, 10**9) == 1
+    # maybe_chunked wiring: cheap or small => identity.
+    act = maximin_policy(2, CFG)
+    assert maybe_chunked(act, 50, 4096) is act
+    assert maybe_chunked(act, 1000, 4096, chunk_override=-1) is act
+    assert getattr(maybe_chunked(act, 1000, 4096), "batched", False)
+
+
+def _stub_apply(params, obs):
+    """Value head = disk diff from the to-move player's perspective."""
+    diff = obs[:, 0].sum((1, 2)) - obs[:, 1].sum((1, 2))
+    turn = 2.0 * obs[:, 2, 0, 0] - 1.0
+    return None, diff * turn, None
+
+
+def _explicit_lookahead2(s):
+    """Straightforward per-move Python expansion of the depth-2 value
+    lookahead (independent coding of the same contract)."""
+    legal = np.flatnonzero(np.asarray(s.legal))
+    best_val, best_a = -1e18, None
+    for a in legal:
+        res1 = core.step(s, jnp.int32(a), RCFG)
+        c = res1.state
+        if bool(c.terminated):
+            val = float(res1.reward)
+        else:
+            vals2 = []
+            for b in np.flatnonzero(np.asarray(c.legal)):
+                res2 = core.step(c, jnp.int32(b), RCFG)
+                g = res2.state
+                if bool(g.terminated):
+                    v = float(res2.reward)
+                    v = v if int(c.turn) == int(s.turn) else -v
+                else:
+                    obs = jnp.asarray(
+                        np.asarray(make_state(g), np.float32)[None])
+                    _, vv, _ = _stub_apply(None, obs)
+                    vv = float(vv[0])
+                    v = vv if int(g.turn) == int(s.turn) else -vv
+                vals2.append(v)
+            val = (max(vals2) if int(c.turn) == int(s.turn)
+                   else min(vals2))
+        if val > best_val:
+            best_val, best_a = val, int(a)
+    return best_a
+
+
+def test_net_lookahead_depth2_matches_explicit_expansion():
+    from gymothelloenv_tpu.train.ppo_trainer import net_lookahead_policy
+
+    act = jax.jit(net_lookahead_policy(None, _stub_apply, RCFG, depth=2))
+    key = jax.random.PRNGKey(5)
+    s = core.reset(RCFG)
+    checked = 0
+    for ply in range(60):
+        if bool(s.terminated):
+            break
+        got = int(act(key, s))
+        want = _explicit_lookahead2(s)
+        assert got == want, (ply, got, want)
+        checked += 1
+        legal = np.flatnonzero(np.asarray(s.legal))
+        key, k = jax.random.split(key)
+        a = int(legal[jax.random.randint(k, (), 0, len(legal))])
+        s = core.step(s, jnp.int32(a), RCFG).state
+    assert checked >= 20
+
+
+def test_lookahead_depth2_chunked_matches_plain():
+    from gymothelloenv_tpu.train.ppo_trainer import net_lookahead_policy
+
+    act = net_lookahead_policy(None, _stub_apply, RCFG, depth=2)
+    states = random_states(5, seed=9)
+    keys = jax.random.split(jax.random.PRNGKey(1), 5)
+    plain = jax.jit(jax.vmap(act))(keys, states)
+    chunked = jax.jit(chunked_batched(act, 2))(keys, states)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(chunked))
+
+
+def _pseudo_recurrent_apply(net, ff_apply):
+    """Wrap a feed-forward apply as an h-ignoring recurrent-signature
+    apply: the hidden thread is inert, so stateful-runner results must
+    match the stateless path exactly."""
+    def apply_fn(params, obs, h, mask):
+        logits, value, _ = ff_apply(params, obs)
+        return logits, value, h
+    apply_fn.hidden_size = 4
+    apply_fn.recurrent = True
+    return apply_fn
+
+
+def _small_net():
+    from gymothelloenv_tpu.train.ppo_trainer import (make_apply_fn,
+                                                     make_network)
+    net = make_network(RCFG)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 8, 8)))
+    return net, params, make_apply_fn(net)
+
+
+def test_recurrent_opponent_matches_stateless_when_hidden_inert():
+    """play_games_recurrent with an opp_cell whose hidden is inert must
+    reproduce the stateless-opponent program bit-for-bit (same key
+    stream, same logits => same actions)."""
+    from gymothelloenv_tpu.train.ppo_trainer import (
+        net_sampling_cell, net_tournament_policy, play_games_recurrent)
+
+    net, params, ff_apply = _small_net()
+    rec_apply = _pseudo_recurrent_apply(net, ff_apply)
+
+    # Protagonist: the same net as a pseudo-recurrent actor; opponent in
+    # both runs is ANOTHER copy of the net, once stateless and once as an
+    # inert-hidden cell.
+    key = jax.random.PRNGKey(3)
+    w_stateless = jax.jit(lambda k: play_games_recurrent(
+        k, RCFG, params, rec_apply,
+        net_tournament_policy(params, ff_apply), 8, -1, 4, 4))(key)
+    w_cell = jax.jit(lambda k: play_games_recurrent(
+        k, RCFG, params, rec_apply, None, 8, -1, 4, 4,
+        opp_cell=net_sampling_cell(params, rec_apply),
+        opp_hidden_size=4))(key)
+    np.testing.assert_array_equal(np.asarray(w_stateless),
+                                  np.asarray(w_cell))
+
+
+def test_recurrent_lookahead_cell_matches_ff_lookahead():
+    """With an inert hidden, the recurrent lookahead cell must pick the
+    same action the feed-forward lookahead picks."""
+    from gymothelloenv_tpu.train.ppo_trainer import (
+        net_lookahead_cell_recurrent, net_lookahead_policy)
+
+    net, params, ff_apply = _small_net()
+    rec_apply = _pseudo_recurrent_apply(net, ff_apply)
+    cell = net_lookahead_cell_recurrent(params, rec_apply, RCFG)
+    ff_act = net_lookahead_policy(params, ff_apply, RCFG)
+
+    states = random_states(6, seed=13)
+    keys = jax.random.split(jax.random.PRNGKey(2), 6)
+    h = jnp.zeros((6, 4))
+    a_cell, h_out = jax.jit(cell)(keys, states, h)
+    a_ff = jax.jit(jax.vmap(ff_act))(keys, states)
+    np.testing.assert_array_equal(np.asarray(a_cell), np.asarray(a_ff))
+    assert h_out.shape == (6, 4)
+
+
+def test_recurrent_lookahead_depth2_rejected():
+    import pytest
+
+    from gymothelloenv_tpu.train.ppo_trainer import (
+        net_lookahead_cell_recurrent)
+    with pytest.raises(NotImplementedError, match="depth 1"):
+        net_lookahead_cell_recurrent(None, None, RCFG, depth=2)
+
+
+def test_real_recurrent_head_to_head_runs():
+    """A REAL GRU checkpoint pair as protagonist and opponent: the
+    stateful runner threads two independent hidden streams; all games
+    must terminate with valid winners."""
+    from gymothelloenv_tpu.train.ppo_trainer import (
+        make_apply_fn_recurrent, make_network, net_sampling_cell,
+        play_games_recurrent)
+
+    H = 16
+    net = make_network(RCFG, recurrent=True, hidden_size=H)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    init = lambda k: net.init(k, jnp.zeros((1, 4, 8, 8)),
+                              jnp.zeros((1, H)), jnp.ones((1,)))
+    p1, p2 = init(k1), init(k2)
+    apply_fn = make_apply_fn_recurrent(net)
+
+    w = jax.jit(lambda k: play_games_recurrent(
+        k, RCFG, p1, apply_fn, None, 6, -1, 4, H,
+        opp_cell=net_sampling_cell(p2, apply_fn),
+        opp_hidden_size=H))(jax.random.PRNGKey(9))
+    w = np.asarray(w)
+    assert w.shape == (6,)
+    assert set(np.unique(w)).issubset({-1, 0, 1})

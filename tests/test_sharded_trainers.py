@@ -207,6 +207,30 @@ def test_ppo_trainer_class_sharded_parity():
     _assert_tree_close(ref.params, sh.params)
 
 
+def test_ppo_recurrent_sharded_parity():
+    """Recurrent PPO under a mesh: the rollout/h0 constraint wiring at
+    train_step (ppo_trainer.py) gets the same 1-vs-8 gate as every other
+    family — the GRU scan must produce the identical global program on
+    any mesh shape."""
+    from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
+                                                     SelfPlayConfig)
+
+    def build(mesh):
+        run_cfg = SelfPlayConfig(num_envs=N_ENVS, num_steps=4,
+                                 test_interval=10_000, hidden_size=32,
+                                 recurrent=True)
+        ppo_cfg = PPOConfig(ppo_epochs=2, num_mini_batch=2, num_updates=4)
+        return PPOSelfPlayTrainer(EnvConfig(num_disk_as_reward=True),
+                                  ppo_cfg, run_cfg,
+                                  log_fn=lambda *a: None, mesh=mesh)
+
+    ref = build(make_mesh(1))
+    ref.train(2, log_every=100)
+    sh = build(make_mesh(8))
+    sh.train(2, log_every=100)
+    _assert_tree_close(ref.params, sh.params)
+
+
 def test_a2c_sharded_parity():
     from gymothelloenv_tpu.agents.a2c import A2CConfig
     from gymothelloenv_tpu.train.a2c_trainer import A2CSelfPlayTrainer
