@@ -142,6 +142,106 @@ def dqn_pershard_chunks(mesh, num_chunks: int = 2):
             total_size, int(fetch_scalar(tr.agent.t)))
 
 
+def rainbow_full_chunks(mesh, num_chunks: int = 2):
+    """Two sharded Rainbow (noisy + C51) chunks on ``mesh`` with the
+    REPLICATED replay layout — the family the reference's process pool
+    drives via RainbowEnvs (envs.py:260-288) but can never actually run
+    (absent external Rainbow package, util.py:6).  Returns
+    (params_digest, t)."""
+    from gymothelloenv_tpu.agents.rainbow import RainbowConfig
+    from gymothelloenv_tpu.agents.replay import ReplayConfig
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.dqn_trainer import DQNRunConfig
+    from gymothelloenv_tpu.train.rainbow_trainer import RainbowTrainer
+    from gymothelloenv_tpu.utils.tpu import fetch_scalar
+
+    tr = RainbowTrainer(
+        EnvConfig(num_disk_as_reward=True),
+        RainbowConfig(batch_size=16, initial_replay_size=1,
+                      target_update_interval=128, n_step=2, num_atoms=11),
+        ReplayConfig(capacity=2048, prioritized=True),
+        DQNRunConfig(num_envs=16, chunk_plies=6, init_rand_steps=2,
+                     seed=5, test_interval=10**9),
+        log_fn=lambda *a: None, mesh=mesh)
+    tr.train(num_chunks=num_chunks, log_every=100)
+    return _digest(tr.agent.params), int(fetch_scalar(tr.agent.t))
+
+
+def rainbow_pershard_chunks(mesh, num_chunks: int = 2):
+    """Per-shard replay Rainbow chunks on ``mesh`` — the C51 loss core
+    under the scale-out replay layout (generic pershard_train_batch
+    driver), local rings per device, owner-multinomial sampling
+    collectives crossing DCN.  Same (8, 1) global program as the
+    single-process 8-device mesh => identical digests."""
+    import jax
+    import numpy as np
+
+    from gymothelloenv_tpu.agents.rainbow import RainbowConfig
+    from gymothelloenv_tpu.agents.replay import ReplayConfig
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.dqn_trainer import DQNRunConfig
+    from gymothelloenv_tpu.train.rainbow_trainer import RainbowTrainer
+    from gymothelloenv_tpu.utils.tpu import fetch_scalar
+
+    tr = RainbowTrainer(
+        EnvConfig(num_disk_as_reward=True),
+        RainbowConfig(batch_size=16, initial_replay_size=1,
+                      target_update_interval=128, n_step=2, num_atoms=11),
+        ReplayConfig(capacity=2048, prioritized=True),
+        DQNRunConfig(num_envs=16, chunk_plies=6, init_rand_steps=2,
+                     seed=5, test_interval=10**9,
+                     replay_sharding="per-shard"),
+        log_fn=lambda *a: None, mesh=mesh)
+    tr.train(num_chunks=num_chunks, log_every=100)
+    data_sum = int(np.asarray(jax.jit(
+        lambda d: d.astype("int64").sum())(
+        tr.replay.data).addressable_data(0)))
+    total_size = int(np.asarray(
+        jax.jit(lambda s: s.sum())(tr.replay.size).addressable_data(0)))
+    return (_digest(tr.agent.params), data_sum, total_size,
+            int(fetch_scalar(tr.agent.t)))
+
+
+def a2c_full_steps(mesh, num_updates: int = 2):
+    """Two sharded A2C self-play updates on ``mesh`` — the
+    PPOSelfPlayTrainer-subclass wiring (A2C/ACKTR/GAIL share the base
+    class's mesh constraints; A2C is the cross-host representative).
+    Returns params digest."""
+    from gymothelloenv_tpu.agents.a2c import A2CConfig
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.a2c_trainer import A2CSelfPlayTrainer
+    from gymothelloenv_tpu.train.ppo_trainer import SelfPlayConfig
+
+    tr = A2CSelfPlayTrainer(
+        A2CConfig(),
+        run_cfg=SelfPlayConfig(num_envs=16, num_steps=4,
+                               test_interval=10_000, hidden_size=64,
+                               seed=11),
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        log_fn=lambda *a: None, mesh=mesh)
+    tr.train(num_updates, log_every=100)
+    return _digest(tr.params)
+
+
+def ppo_recurrent_steps(mesh, num_updates: int = 2):
+    """Two sharded recurrent (GRU) PPO updates on ``mesh`` — the
+    recurrent rollout/h0/masks constraint wiring crossing a real process
+    boundary.  Returns params digest."""
+    from gymothelloenv_tpu.agents.ppo import PPOConfig
+    from gymothelloenv_tpu.core.state import EnvConfig
+    from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
+                                                     SelfPlayConfig)
+
+    tr = PPOSelfPlayTrainer(
+        EnvConfig(num_disk_as_reward=True),
+        PPOConfig(ppo_epochs=2, num_mini_batch=2, num_updates=4),
+        SelfPlayConfig(num_envs=16, num_steps=4, test_interval=10_000,
+                       hidden_size=32, recurrent=True, seed=13),
+        log_fn=lambda *a: None, mesh=mesh)
+    tr.train(num_updates, log_every=100)
+    return _digest(tr.params)
+
+
 def ts_full_chunks(mesh, num_chunks: int = 2):
     """Two sharded teacher-student chunks on ``mesh`` (the other
     BASELINE configs[4] family).  Returns (teacher_digest,
@@ -202,20 +302,30 @@ def main(pid: int, port: str):
     value_loss = ppo_full_step(mesh)
     assert np.isfinite(value_loss), value_loss
 
-    # Full sharded DQN+PER and teacher-student chunks across the cluster
-    # (BASELINE configs[4] names exactly these two families "sharded
-    # over 2+ hosts").  The digests must agree across processes AND with
-    # the single-process run the test computes on its own 8-device mesh.
+    # Every trainer family crosses the real process boundary (the
+    # reference's process pool drives PPO, teacher-student AND Rainbow
+    # workers uniformly, envs.py:19-25,260-288 — we match that coverage
+    # and add the families the reference can't run).  The digests must
+    # agree across processes AND with the single-process run the test
+    # computes on its own 8-device mesh.
     dqn_p, dqn_prio, dqn_size, dqn_t = dqn_full_chunks(mesh)
     ts_t, ts_s = ts_full_chunks(mesh)
     ps_p, ps_prio, ps_data, ps_size, ps_t = dqn_pershard_chunks(mesh)
+    rb_p, rb_t = rainbow_full_chunks(mesh)
+    rbps_p, rbps_data, rbps_size, rbps_t = rainbow_pershard_chunks(mesh)
+    a2c_p = a2c_full_steps(mesh)
+    rec_p = ppo_recurrent_steps(mesh)
     print(f"OK proc{pid} sum={got} grad={g_val} "
           f"ppo_value_loss={value_loss:.6f} "
           f"dqn_params={dqn_p} dqn_prio={dqn_prio} "
           f"dqn_size={dqn_size} dqn_t={dqn_t} "
           f"ts_teacher={ts_t} ts_student={ts_s} "
           f"ps_params={ps_p} ps_prio={ps_prio} ps_data={ps_data} "
-          f"ps_size={ps_size} ps_t={ps_t}", flush=True)
+          f"ps_size={ps_size} ps_t={ps_t} "
+          f"rb_params={rb_p} rb_t={rb_t} "
+          f"rbps_params={rbps_p} rbps_data={rbps_data} "
+          f"rbps_size={rbps_size} rbps_t={rbps_t} "
+          f"a2c_params={a2c_p} rec_params={rec_p}", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,11 +1,18 @@
 """Real 2-process jax.distributed run on CPU (gloo over localhost) — the
 multi-host mechanics the reference never had (SURVEY.md §2.3: its only
-"distributed" layer is mp.Pipe).  Spawns two worker processes, each a
-"host" with 4 virtual devices, and checks cluster handshake, global batch
-assembly from host-local shards, the cross-process gradient reduction,
-and a FULL sharded PPO self-play train step whose value_loss must match
-the same step run single-process on this test's own 8-device mesh
-(tests/multihost_worker.py)."""
+"distributed" layer is mp.Pipe).  A module-scoped fixture spawns two
+worker processes ONCE — each a "host" with 4 virtual devices — and the
+workers run EVERY trainer family across the cluster (matching the
+reference's uniform process-pool coverage of PPO / teacher-student /
+Rainbow workers, envs.py:19-25,260-288, plus the families it can't run).
+Each family then has its own test: cross-process digest equality and
+parity against the identical global program run single-process on this
+test's own 8-device mesh (tests/multihost_worker.py).
+
+ACKTR and GAIL share A2C's PPOSelfPlayTrainer mesh wiring (the subclasses
+only swap `_do_update`); A2C is their cross-host representative — their
+1-vs-8 single-process gates live in tests/test_sharded_trainers.py.
+"""
 
 import os
 import re
@@ -13,8 +20,12 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.slow
 
 
 def _free_port() -> int:
@@ -23,7 +34,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_cluster():
+@pytest.fixture(scope="module")
+def cluster_outs():
+    """Boot the 2-process cluster once; workers run all families and
+    print their digests.  Returns both processes' stdout."""
     port = str(_free_port())
     env = {**os.environ, "PYTHONPATH": REPO}
     env.pop("JAX_PLATFORMS", None)   # workers set their own backend
@@ -32,7 +46,7 @@ def test_two_process_distributed_cluster():
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for pid in (0, 1)]
     try:
-        outs = [p.communicate(timeout=900)[0] for p in procs]
+        outs = [p.communicate(timeout=1800)[0] for p in procs]
     finally:
         for p in procs:       # don't orphan cluster members on timeout
             if p.poll() is None:
@@ -41,57 +55,118 @@ def test_two_process_distributed_cluster():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out}"
         assert f"OK proc{pid}" in out, out
+    return outs
 
+
+def _field(out, name):
+    return re.search(rf"{name}=([0-9.eE+-]+)", out).group(1)
+
+
+def _assert_cross_process_equal(outs, names):
+    for name in names:
+        assert _field(outs[0], name) == _field(outs[1], name), \
+            (name, _field(outs[0], name), _field(outs[1], name))
+
+
+def _close(a, b, rtol=5e-3):
+    return abs(a - b) <= rtol * max(1.0, abs(b))
+
+
+def _mesh8():
+    from gymothelloenv_tpu.parallel import make_mesh
+    return make_mesh(8)
+
+
+def test_multihost_ppo(cluster_outs):
     # The 2-process cluster's full PPO step must reproduce the same
     # global program run single-process on this test's 8-device mesh.
-    from multihost_worker import (dqn_full_chunks, ppo_full_step,
-                                  ts_full_chunks)
+    from multihost_worker import ppo_full_step
 
-    from gymothelloenv_tpu.parallel import make_mesh
-
-    expect = ppo_full_step(make_mesh(8))
-    got = [float(re.search(r"ppo_value_loss=([0-9.eE+-]+)", out).group(1))
-           for out in outs]
+    expect = ppo_full_step(_mesh8())
+    got = [float(_field(out, "ppo_value_loss")) for out in cluster_outs]
     assert got[0] == got[1], got
     assert abs(got[0] - expect) < 5e-3 * max(1.0, abs(expect)), \
         (got[0], expect)
 
-    # DQN+PER and teacher-student full chunks (BASELINE configs[4]):
-    # every process reports the same digests (replicated replay/params
-    # are host-consistent), and they match the single-process run of the
-    # identical global program on this test's own 8-device mesh.
-    def field(out, name):
-        return re.search(rf"{name}=([0-9.eE+-]+)", out).group(1)
 
-    for name in ("dqn_params", "dqn_prio", "dqn_size", "dqn_t",
-                 "ts_teacher", "ts_student"):
-        assert field(outs[0], name) == field(outs[1], name), \
-            (name, field(outs[0], name), field(outs[1], name))
+def test_multihost_dqn_per(cluster_outs):
+    from multihost_worker import dqn_full_chunks
 
-    def close(a, b, rtol=5e-3):
-        return abs(a - b) <= rtol * max(1.0, abs(b))
+    _assert_cross_process_equal(
+        cluster_outs, ("dqn_params", "dqn_prio", "dqn_size", "dqn_t"))
+    dqn_p, dqn_prio, dqn_size, dqn_t = dqn_full_chunks(_mesh8())
+    out = cluster_outs[0]
+    assert _close(float(_field(out, "dqn_params")), float(dqn_p))
+    assert _close(float(_field(out, "dqn_prio")), float(dqn_prio))
+    assert int(_field(out, "dqn_size")) == dqn_size > 0
+    assert int(_field(out, "dqn_t")) == dqn_t > 0
 
-    dqn_p, dqn_prio, dqn_size, dqn_t = dqn_full_chunks(make_mesh(8))
-    assert close(float(field(outs[0], "dqn_params")), float(dqn_p))
-    assert close(float(field(outs[0], "dqn_prio")), float(dqn_prio))
-    assert int(field(outs[0], "dqn_size")) == dqn_size > 0
-    assert int(field(outs[0], "dqn_t")) == dqn_t > 0
 
-    ts_t, ts_s = ts_full_chunks(make_mesh(8))
-    assert close(float(field(outs[0], "ts_teacher")), float(ts_t))
-    assert close(float(field(outs[0], "ts_student")), float(ts_s))
+def test_multihost_teacher_student(cluster_outs):
+    from multihost_worker import ts_full_chunks
 
+    _assert_cross_process_equal(cluster_outs, ("ts_teacher", "ts_student"))
+    ts_t, ts_s = ts_full_chunks(_mesh8())
+    out = cluster_outs[0]
+    assert _close(float(_field(out, "ts_teacher")), float(ts_t))
+    assert _close(float(_field(out, "ts_student")), float(ts_s))
+
+
+def test_multihost_dqn_pershard(cluster_outs):
     # Per-shard replay across the cluster: the pod mesh is the same
     # (8, 1) global program as this test's single-process 8-device mesh,
     # so ring totals and params must agree (sampling streams included).
     from multihost_worker import dqn_pershard_chunks
 
-    ps_p, ps_prio, ps_data, ps_size, ps_t = dqn_pershard_chunks(
-        make_mesh(8))
-    for name in ("ps_params", "ps_prio", "ps_data", "ps_size", "ps_t"):
-        assert field(outs[0], name) == field(outs[1], name), name
-    assert close(float(field(outs[0], "ps_params")), float(ps_p))
-    assert close(float(field(outs[0], "ps_prio")), float(ps_prio))
-    assert int(field(outs[0], "ps_data")) == ps_data
-    assert int(field(outs[0], "ps_size")) == ps_size > 0
-    assert int(field(outs[0], "ps_t")) == ps_t > 0
+    _assert_cross_process_equal(
+        cluster_outs,
+        ("ps_params", "ps_prio", "ps_data", "ps_size", "ps_t"))
+    ps_p, ps_prio, ps_data, ps_size, ps_t = dqn_pershard_chunks(_mesh8())
+    out = cluster_outs[0]
+    assert _close(float(_field(out, "ps_params")), float(ps_p))
+    assert _close(float(_field(out, "ps_prio")), float(ps_prio))
+    assert int(_field(out, "ps_data")) == ps_data
+    assert int(_field(out, "ps_size")) == ps_size > 0
+    assert int(_field(out, "ps_t")) == ps_t > 0
+
+
+def test_multihost_rainbow(cluster_outs):
+    from multihost_worker import rainbow_full_chunks
+
+    _assert_cross_process_equal(cluster_outs, ("rb_params", "rb_t"))
+    rb_p, rb_t = rainbow_full_chunks(_mesh8())
+    out = cluster_outs[0]
+    assert _close(float(_field(out, "rb_params")), float(rb_p))
+    assert int(_field(out, "rb_t")) == rb_t > 0
+
+
+def test_multihost_rainbow_pershard(cluster_outs):
+    from multihost_worker import rainbow_pershard_chunks
+
+    _assert_cross_process_equal(
+        cluster_outs,
+        ("rbps_params", "rbps_data", "rbps_size", "rbps_t"))
+    p, data, size, t = rainbow_pershard_chunks(_mesh8())
+    out = cluster_outs[0]
+    assert _close(float(_field(out, "rbps_params")), float(p))
+    assert int(_field(out, "rbps_data")) == data
+    assert int(_field(out, "rbps_size")) == size > 0
+    assert int(_field(out, "rbps_t")) == t > 0
+
+
+def test_multihost_a2c(cluster_outs):
+    from multihost_worker import a2c_full_steps
+
+    _assert_cross_process_equal(cluster_outs, ("a2c_params",))
+    a2c_p = a2c_full_steps(_mesh8())
+    assert _close(float(_field(cluster_outs[0], "a2c_params")),
+                  float(a2c_p))
+
+
+def test_multihost_ppo_recurrent(cluster_outs):
+    from multihost_worker import ppo_recurrent_steps
+
+    _assert_cross_process_equal(cluster_outs, ("rec_params",))
+    rec_p = ppo_recurrent_steps(_mesh8())
+    assert _close(float(_field(cluster_outs[0], "rec_params")),
+                  float(rec_p))
