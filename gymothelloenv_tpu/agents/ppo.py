@@ -57,6 +57,13 @@ class PPOConfig:
     # when T*N is not a power of two.  "sort" forces the uniform
     # permutation everywhere.
     shuffle: str = "hash"
+    # Distillation mode (round-4 search-bootstrapped training): replace
+    # the clipped surrogate with plain cross-entropy to the TAKEN action
+    # (the collector's lookahead-override action), value loss unchanged.
+    # With collect-time lookahead acting this is approximate policy
+    # iteration: act with search, regress the raw policy onto the
+    # searched actions and the value head onto the observed returns.
+    distill: bool = False
 
 
 @struct.dataclass
@@ -204,11 +211,15 @@ def ppo_loss_terms(logits: jnp.ndarray, values: jnp.ndarray,
         def wmean(x):
             return (x * weights).sum() / denom
 
-    ratio = jnp.exp(logp - batch.logp)
-    surr1 = ratio * advantages
-    surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param,
-                     1.0 + cfg.clip_param) * advantages
-    action_loss = -wmean(jnp.minimum(surr1, surr2))
+    if cfg.distill:
+        # CE to the taken (search-improved) action; advantages unused.
+        action_loss = -wmean(logp)
+    else:
+        ratio = jnp.exp(logp - batch.logp)
+        surr1 = ratio * advantages
+        surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param,
+                         1.0 + cfg.clip_param) * advantages
+        action_loss = -wmean(jnp.minimum(surr1, surr2))
 
     if cfg.use_clipped_value_loss:
         value_clipped = batch.value + jnp.clip(

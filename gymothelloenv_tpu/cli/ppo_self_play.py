@@ -83,6 +83,20 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 net compute (params stay fp32; "
                              "~17%% faster updates at num-envs 4096)")
+    parser.add_argument("--lookahead-collect", action="store_true",
+                        help="search-bootstrapped training: the "
+                             "protagonist ACTS with the 1-ply value "
+                             "lookahead while the update trains the raw "
+                             "net (pair with --distill for approximate "
+                             "policy iteration)")
+    parser.add_argument("--lookahead-tau", type=float, default=0.0,
+                        help="softmax temperature over child values for "
+                             "--lookahead-collect (0 = argmax; value "
+                             "scale is disk diffs, ±64)")
+    parser.add_argument("--distill", action="store_true",
+                        help="cross-entropy-to-taken-action update "
+                             "instead of the clipped surrogate (for "
+                             "--lookahead-collect distillation)")
     args, _ = parser.parse_known_args(argv)
 
     env_cfg = EnvConfig(board_size=args.board_size, num_disk_as_reward=True)
@@ -92,7 +106,7 @@ def main(argv=None):
         gae_lambda=args.gae_lambda, ppo_epochs=args.ppo_epochs,
         num_mini_batch=args.num_mini_batch,
         use_linear_lr_decay=not args.no_linear_lr_decay,
-        num_updates=args.num_updates)
+        num_updates=args.num_updates, distill=args.distill)
     run_cfg = SelfPlayConfig(
         num_envs=args.num_envs, num_steps=args.num_steps,
         init_rand_steps=args.init_rand_steps,
@@ -105,7 +119,9 @@ def main(argv=None):
         pool_interval=args.pool_interval, recurrent=args.recurrent,
         frame_stack=args.frame_stack,
         max_episode_plies=args.max_episode_plies,
-        chain_updates=args.chain_updates)
+        chain_updates=args.chain_updates,
+        lookahead_collect=args.lookahead_collect,
+        lookahead_tau=args.lookahead_tau)
 
     logger = MetricsLogger(args.log_dir) if args.log_dir else None
     trainer = PPOSelfPlayTrainer(

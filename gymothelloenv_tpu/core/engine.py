@@ -74,6 +74,15 @@ class PlaneEngine:
         new = jax.vmap(one)(state, actions)
         return _select_tree(do, new, state)
 
+    def step_all(self, state: OthelloState, actions, cfg: EnvConfig):
+        """Unconditionally step every game; returns (new_state, reward)
+        with the mover-perspective terminal reward — the expansion
+        primitive for in-collector value lookahead (children of live
+        decision states; illegal candidates terminate sudden-death and
+        are masked by the caller's legal mask)."""
+        res = jax.vmap(lambda s, a: core.step(s, a, cfg))(state, actions)
+        return res.state, res.reward
+
     def featurize(self, state: OthelloState) -> jnp.ndarray:
         """(N, 4, B, B) float32 make_state planes (util.py:48-74)."""
         return jax.vmap(make_state)(state)
@@ -118,6 +127,14 @@ class BitEngine:
             sudden_death_on_invalid_move=cfg.sudden_death_on_invalid_move,
             num_disk_as_reward=cfg.num_disk_as_reward)
         return _select_tree(do, res.state, state)
+
+    def step_all(self, state: bb.BitState, actions, cfg: EnvConfig):
+        """See PlaneEngine.step_all."""
+        res = bb.bit_step(
+            state, actions,
+            sudden_death_on_invalid_move=cfg.sudden_death_on_invalid_move,
+            num_disk_as_reward=cfg.num_disk_as_reward)
+        return res.state, res.reward
 
     def featurize(self, state: bb.BitState) -> jnp.ndarray:
         """(N, 4, 8, 8) make_state planes straight from the packed words

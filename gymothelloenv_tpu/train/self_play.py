@@ -73,8 +73,58 @@ def split_each(keys):
     return both[:, 0], both[:, 1]
 
 
+def lookahead_action_values(params, apply_fn: ApplyFn, eng, env,
+                            cfg: EnvConfig) -> jnp.ndarray:
+    """(N, A) root-mover-perspective child values for every candidate
+    action: expand each action with the exact engine, score non-terminal
+    children with the trained value head (negated when the turn passes),
+    terminal children with their true mover-perspective reward — the
+    in-collector (engine-layout) counterpart of
+    ``ppo_trainer.net_lookahead_policy``.  Illegal candidates terminate
+    sudden-death; callers mask with the root legal mask."""
+    A = cfg.num_actions
+    N = env.turn.shape[0]
+
+    def child(a):
+        return eng.step_all(env, jnp.full((N,), a, jnp.int32), cfg)
+
+    children, rewards = jax.vmap(child)(jnp.arange(A, dtype=jnp.int32))
+    flat = jax.tree.map(lambda x: x.reshape((A * N,) + x.shape[2:]),
+                        children)
+    obs = eng.featurize(flat)
+    _, v, _ = apply_fn(params, obs)
+    v = v.reshape(A, N)
+    mover_v = jnp.where(flat.turn.reshape(A, N) == env.turn[None, :],
+                        v, -v)
+    vals = jnp.where(flat.terminated.reshape(A, N), rewards, mover_v)
+    return vals.T
+
+
+def make_lookahead_override(cfg: EnvConfig, tau: float = 0.0):
+    """Search-bootstrapped acting (round-4 probe): the EXECUTED (and
+    stored) protagonist action comes from the 1-ply value-lookahead
+    operator instead of the sampled logits, while the update still trains
+    the raw net — turning the eval-time policy-improvement operator
+    (RESULTS.md round-3 finale) into a training signal.  ``tau`` > 0
+    samples a softmax over child values at that temperature (exploration
+    on the lookahead-improved distribution; the value scale is the
+    training disk-diff scale, ±64); ``tau`` = 0 plays the argmax.
+
+    Returns ``override(params, apply_fn, eng, env, key, legal) ->
+    actions`` for ``policy_sample(act_override=...)``."""
+    def override(params, apply_fn, eng, env, key, legal):
+        vals = lookahead_action_values(params, apply_fn, eng, env, cfg)
+        masked = jnp.where(legal, vals, -jnp.float32(1e9))
+        if tau > 0:
+            return jax.random.categorical(
+                key, masked / jnp.float32(tau), axis=-1).astype(jnp.int32)
+        return jnp.argmax(masked, axis=-1).astype(jnp.int32)
+
+    return override
+
+
 def policy_sample(params, apply_fn: ApplyFn, eng, env, keys,
-                   logp_mode: str = "masked"):
+                   logp_mode: str = "masked", act_override=None):
     """Sample masked actions; ``logp_mode`` picks which behaviour log-prob
     is recorded: 'masked' (vendored Policy.act, model.py:60-90) or 'full'
     (the simple PPO stores full-softmax log-probs, ppo.py:309-310).
@@ -89,7 +139,14 @@ def policy_sample(params, apply_fn: ApplyFn, eng, env, keys,
     legal = eng.legal_flat(env)
     logits, value, _ = apply_fn(params, obs)
     dist = MaskedCategorical(logits=logits, mask=legal)
-    action = dist.sample(keys[0])
+    if act_override is not None:
+        # Search-bootstrapped acting: the override picks the executed
+        # action; the stored behaviour log-prob is the policy's log-prob
+        # OF that action (the PPO ratio then starts at 1, and the distill
+        # update's CE pushes the raw policy toward the search action).
+        action = act_override(params, apply_fn, eng, env, keys[0], legal)
+    else:
+        action = dist.sample(keys[0])
     if logp_mode == "full":
         # One-hot select (exact), not take_along_axis — per-row gathers
         # carry a large fixed cost on TPU (see MaskedCategorical.log_prob).
@@ -171,12 +228,12 @@ def reset_done(eng, env, rand_left, pcolor, keys, done, cfg: EnvConfig,
 
 def protagonist_act(params, apply_fn, eng, env, rand_left, keys, cfg,
                      logp_mode: str = "masked",
-                     rand_openings: bool = True):
+                     rand_openings: bool = True, act_override=None):
     """Phase C: sample the protagonist decision, step the env, return the
     new pending transition."""
     keys, sample_keys = split_each(keys)
     obs, legal, action, logp, value = policy_sample(
-        params, apply_fn, eng, env, sample_keys, logp_mode)
+        params, apply_fn, eng, env, sample_keys, logp_mode, act_override)
     num_envs = action.shape[0]
     env, rand_left, keys = masked_step(
         eng, env, rand_left, keys, action, jnp.ones((num_envs,), bool),
@@ -191,13 +248,15 @@ def selfplay_init(params, apply_fn: ApplyFn, key: jax.Array,
                   init_rand_steps: int = 0,
                   logp_mode: str = "masked",
                   force_plane: bool = False,
-                  opp_params=None) -> SelfPlayState:
+                  opp_params=None, act_override=None) -> SelfPlayState:
     """Fresh games + first protagonist decision (the initial pending).
 
     ``opp_params`` (optional) plays the NON-learning color — mirror
     self-play when None (the reference's single shared policy,
     run_self_play.py:95-103), a frozen snapshot when given (opponent-pool
-    training; see PPOSelfPlayTrainer)."""
+    training; see PPOSelfPlayTrainer).  ``act_override`` (optional, see
+    ``make_lookahead_override``) replaces the PROTAGONIST's sampled
+    action; opponent plies keep sampling."""
     eng = get_engine(cfg, force_plane)
     if opp_params is None:
         opp_params = params
@@ -218,7 +277,7 @@ def selfplay_init(params, apply_fn: ApplyFn, key: jax.Array,
         rand_openings)
     env, rand_left, env_keys, pending = protagonist_act(
         params, apply_fn, eng, env, rand_left, env_keys, cfg, logp_mode,
-        rand_openings)
+        rand_openings, act_override)
     return SelfPlayState(env=env, rand_left=rand_left, pcolor=pcolor,
                          env_keys=env_keys, pending=pending, key=key)
 
@@ -228,7 +287,7 @@ def collect_rollout(params, apply_fn: ApplyFn, sp: SelfPlayState,
                     init_rand_steps: int = 0,
                     logp_mode: str = "masked",
                     force_plane: bool = False,
-                    opp_params=None):
+                    opp_params=None, act_override=None):
     """Scan ``num_steps`` slots; returns (new_state, Transition (T, N, ...),
     bootstrap_value (N,)).
 
@@ -273,7 +332,7 @@ def collect_rollout(params, apply_fn: ApplyFn, sp: SelfPlayState,
         # Phase C: protagonist decision becomes the new pending.
         env, rand_left, env_keys, pending = protagonist_act(
             params, apply_fn, eng, env, rand_left, env_keys, cfg,
-            logp_mode, rand_openings)
+            logp_mode, rand_openings, act_override)
 
         return SelfPlayState(env=env, rand_left=rand_left, pcolor=pcolor,
                              env_keys=env_keys, pending=pending,

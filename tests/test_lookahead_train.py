@@ -1,0 +1,124 @@
+"""Round-4 search-bootstrapped training (VERDICT item 5): the
+in-collector lookahead override, engine-layout child values, and the
+distillation loss branch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gymothelloenv_tpu.agents.ppo import (PPOConfig, Transition,
+                                          ppo_loss_terms)
+from gymothelloenv_tpu.core import bitboard as bb
+from gymothelloenv_tpu.core.engine import get_engine
+from gymothelloenv_tpu.core.state import EnvConfig
+from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
+                                                 SelfPlayConfig,
+                                                 net_lookahead_policy)
+from gymothelloenv_tpu.train.self_play import (lookahead_action_values,
+                                               make_lookahead_override)
+
+from test_chunked_search import _stub_apply, random_states
+
+RCFG = EnvConfig(num_disk_as_reward=True)
+
+
+def test_lookahead_values_match_eval_policy():
+    """Engine-layout child values (plane engine) pick the same action the
+    eval-time net_lookahead_policy picks on the same states."""
+    states = random_states(6, seed=17)
+    eng = get_engine(RCFG, force_plane=True)
+    vals = jax.jit(lambda s: lookahead_action_values(
+        None, _stub_apply, eng, s, RCFG))(states)
+    a_coll = jnp.argmax(
+        jnp.where(states.legal, vals, -jnp.float32(1e9)), axis=1)
+    eval_act = net_lookahead_policy(None, _stub_apply, RCFG)
+    keys = jax.random.split(jax.random.PRNGKey(0), 6)
+    a_eval = jax.jit(jax.vmap(eval_act))(keys, states)
+    np.testing.assert_array_equal(np.asarray(a_coll), np.asarray(a_eval))
+
+
+def test_lookahead_values_bit_plane_parity():
+    """BitEngine and PlaneEngine produce identical child values (both
+    featurize identically; disk-count arithmetic is exact in float32)."""
+    states = random_states(5, seed=23)
+    bits = bb.from_planes(states.board, states.turn,
+                          states.legal, states.terminated, states.winner)
+    plane_eng = get_engine(RCFG, force_plane=True)
+    bit_eng = get_engine(RCFG)
+    v_plane = jax.jit(lambda s: lookahead_action_values(
+        None, _stub_apply, plane_eng, s, RCFG))(states)
+    v_bit = jax.jit(lambda s: lookahead_action_values(
+        None, _stub_apply, bit_eng, s, RCFG))(bits)
+    np.testing.assert_array_equal(np.asarray(v_plane), np.asarray(v_bit))
+
+
+def test_lookahead_override_argmax_and_tau():
+    states = random_states(4, seed=29)
+    eng = get_engine(RCFG, force_plane=True)
+    key = jax.random.PRNGKey(1)
+
+    ov0 = make_lookahead_override(RCFG, tau=0.0)
+    a0 = jax.jit(lambda s, k: ov0(None, _stub_apply, eng, s, k,
+                                  s.legal))(states, key)
+    vals = lookahead_action_values(None, _stub_apply, eng, states, RCFG)
+    want = jnp.argmax(jnp.where(states.legal, vals, -jnp.float32(1e9)),
+                      axis=1)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(want))
+
+    # tau > 0 samples legal actions only.
+    ov = make_lookahead_override(RCFG, tau=8.0)
+    a = jax.jit(lambda s, k: ov(None, _stub_apply, eng, s, k,
+                                s.legal))(states, key)
+    legal = np.asarray(states.legal)
+    for i, ai in enumerate(np.asarray(a)):
+        assert legal[i, ai]
+
+
+def test_distill_loss_is_cross_entropy():
+    rng = np.random.RandomState(0)
+    n, A = 16, 64
+    logits = jnp.asarray(rng.randn(n, A), jnp.float32)
+    legal = jnp.asarray(rng.rand(n, A) < 0.3)
+    legal = legal.at[:, 0].set(True)   # never empty
+    action = jnp.asarray(
+        [rng.choice(np.flatnonzero(np.asarray(legal[i])))
+         for i in range(n)], jnp.int32)
+    values = jnp.zeros((n,))
+    batch = Transition(obs=jnp.zeros((n, 1)), action=action,
+                       logp=jnp.zeros((n,)), value=jnp.zeros((n,)),
+                       reward=jnp.zeros((n,)), done=jnp.zeros((n,), bool),
+                       legal=legal)
+    adv = jnp.asarray(rng.randn(n), jnp.float32)
+    ret = jnp.zeros((n,))
+    cfg = PPOConfig(distill=True, use_clipped_value_loss=False)
+    _, metrics = ppo_loss_terms(logits, values, batch, adv, ret, cfg)
+
+    from gymothelloenv_tpu.models.distributions import MaskedCategorical
+    want = -MaskedCategorical(logits=logits,
+                              mask=legal).log_prob(action).mean()
+    np.testing.assert_allclose(float(metrics["action_loss"]), float(want),
+                               rtol=1e-6)
+
+
+def test_trainer_lookahead_collect_distill_end_to_end():
+    tr = PPOSelfPlayTrainer(
+        RCFG,
+        PPOConfig(ppo_epochs=2, num_mini_batch=2, num_updates=4,
+                  distill=True),
+        SelfPlayConfig(num_envs=8, num_steps=4, test_interval=10_000,
+                       hidden_size=32, lookahead_collect=True,
+                       lookahead_tau=4.0),
+        log_fn=lambda *a: None)
+    tr.train(2, log_every=100)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(tr.params))
+
+
+def test_trainer_lookahead_collect_guards():
+    with pytest.raises(ValueError, match="lookahead_collect"):
+        PPOSelfPlayTrainer(run_cfg=SelfPlayConfig(
+            num_envs=8, recurrent=True, lookahead_collect=True))
+    with pytest.raises(ValueError, match="lookahead_collect"):
+        PPOSelfPlayTrainer(run_cfg=SelfPlayConfig(
+            num_envs=8, max_episode_plies=30, lookahead_collect=True))
