@@ -44,6 +44,10 @@ def main(argv=None):
                         help="save path; a {step} placeholder keeps one "
                              "file per save-interval snapshot")
     parser.add_argument("--load", type=str, default="")
+    parser.add_argument("--reset-opt", action="store_true",
+                        help="with --load: restore params only and "
+                             "reinitialize optimizer + update counter "
+                             "(fine-tune under a new schedule/objective)")
     parser.add_argument("--log-dir", type=str, default="")
     parser.add_argument("--log-every", type=int, default=10)
     parser.add_argument("--hidden-size", type=int, default=512,
@@ -127,7 +131,10 @@ def main(argv=None):
     trainer = PPOSelfPlayTrainer(
         env_cfg=env_cfg, ppo_cfg=ppo_cfg, run_cfg=run_cfg,
         log_fn=logger.log if logger else None)
-    if args.load:
+    if args.load and args.reset_opt:
+        trainer.load_params_only(args.load)
+        print(f"warm-started params from {args.load} (fresh optimizer)")
+    elif args.load:
         trainer.load(args.load)
         print(f"resumed from {args.load} at update {trainer.update_count}")
 

@@ -818,3 +818,12 @@ class PPOSelfPlayTrainer:
         step, self.params, self.opt_state, _ = load_checkpoint(
             path, self.params, self.opt_state)
         self.update_count = step
+
+    def load_params_only(self, path: str):
+        """Warm-start: restore PARAMS only, reinitializing the optimizer
+        and update counter — for fine-tuning under a different
+        schedule/objective (e.g. the search-distillation runs), where
+        the stored opt_state's structure/decay position don't apply."""
+        _, self.params, _, _ = load_checkpoint(path, self.params)
+        self.opt_state = self.optimizer.init(self.params)
+        self.update_count = 0
