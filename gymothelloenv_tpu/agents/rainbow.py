@@ -96,8 +96,14 @@ class NoisyDense(nn.Module):
 
 
 class RainbowNet(nn.Module):
-    """Conv trunk -> noisy dueling C51 heads; returns atom log-probs
-    (..., A, num_atoms)."""
+    """Conv trunk -> noisy dueling C51 heads; returns RAW atom logits
+    (..., A, num_atoms).  Normalization (softmax / log_softmax over the
+    atom axis) is the CONSUMER's job — atoms normalize per (sample,
+    action) row independently, so the loss can select its single action
+    row BEFORE normalizing, cutting the train-forward/backward softmax
+    traffic by A=64x (the round-4 trace showed the in-net log_softmax
+    over (4096, 64, 51) plus its transpose as the dominant update cost,
+    data/logs/queue/20_rainbow_trace.log)."""
     num_actions: int
     num_atoms: int = 51
     hidden: int = 128
@@ -115,8 +121,7 @@ class RainbowNet(nn.Module):
         adv = adv.reshape(adv.shape[:-1] + (self.num_actions,
                                             self.num_atoms))
         val = val.reshape(val.shape[:-1] + (1, self.num_atoms))
-        logits = val + adv - adv.mean(axis=-2, keepdims=True)
-        return jax.nn.log_softmax(logits, axis=-1)
+        return val + adv - adv.mean(axis=-2, keepdims=True)
 
 
 def make_rainbow_net(cfg: RainbowConfig) -> RainbowNet:
@@ -139,9 +144,9 @@ def rainbow_init(cfg: RainbowConfig, key: jax.Array) -> DQNState:
                     t=jnp.int32(0))
 
 
-def expected_q(log_probs: jnp.ndarray, cfg: RainbowConfig) -> jnp.ndarray:
-    """(..., A, atoms) log-probs -> (..., A) expected values."""
-    return (jnp.exp(log_probs) * cfg.support).sum(axis=-1)
+def expected_q(logits: jnp.ndarray, cfg: RainbowConfig) -> jnp.ndarray:
+    """(..., A, atoms) RAW atom logits -> (..., A) expected values."""
+    return (jax.nn.softmax(logits, axis=-1) * cfg.support).sum(axis=-1)
 
 
 def rainbow_act(params, apply_fn, board, turn, legal, key,
@@ -188,23 +193,26 @@ def rainbow_loss_grads(state: DQNState, cfg: RainbowConfig, apply_fn,
     next_obs = featurize3(next_board, next_turn)
 
     # Double: online net picks a*, target net evaluates its distribution.
+    # All applies return RAW atom logits; rows are selected one-hot
+    # FIRST (exact — atoms normalize per action row independently, and
+    # one-hot reduces avoid per-row gather costs, ops/gather.py), then
+    # normalized over just (N, atoms) instead of (N, A, atoms).
     online_next = apply_fn(state.params, next_obs, k_online)
     next_a = jnp.argmax(expected_q(online_next, cfg), axis=-1)
     target_next = apply_fn(state.target_params, next_obs, k_target)
-    # One-hot pick of the chosen action's atom row (exact; avoids the
-    # fixed per-row cost of take_along_axis gathers — ops/gather.py).
     next_oh = (next_a[:, None]
                == jnp.arange(target_next.shape[1]))[..., None]
-    next_probs = jnp.exp(
-        jnp.where(next_oh, target_next, 0.0).sum(axis=1))
+    next_row = jnp.where(next_oh, target_next, 0.0).sum(axis=1)
+    next_probs = jax.nn.softmax(next_row, axis=-1)
     proj = _project_distribution(next_probs, reward,
                                  1.0 - done.astype(jnp.float32), cfg)
     proj = jax.lax.stop_gradient(proj)
 
     def loss_fn(params):
-        log_p = apply_fn(params, featurize3(board, turn), k_train)
-        act_oh = (action[:, None] == jnp.arange(log_p.shape[1]))[..., None]
-        log_pa = jnp.where(act_oh, log_p, 0.0).sum(axis=1)
+        logits = apply_fn(params, featurize3(board, turn), k_train)
+        act_oh = (action[:, None] == jnp.arange(logits.shape[1]))[..., None]
+        row = jnp.where(act_oh, logits, 0.0).sum(axis=1)
+        log_pa = jax.nn.log_softmax(row, axis=-1)
         kl = -(proj * log_pa).sum(-1)
         return kl.mean(), kl
 

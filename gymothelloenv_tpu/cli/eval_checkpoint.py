@@ -106,7 +106,8 @@ def main(argv=None):
                 net_act, n,
                 live_cost_of_spec("",
                                   lookahead_depth=args.lookahead_depth),
-                chunk_override=args.expand_chunk)
+                chunk_override=args.expand_chunk,
+                label=f"lookahead-{args.lookahead_depth}")
         else:
             net_act = net_tournament_policy(params, apply_fn)
 

@@ -37,7 +37,7 @@ def policy_from_spec(spec: str, cfg: EnvConfig,
         act = make_policy(spec, cfg)
     if num_games > 0:
         act = maybe_chunked(act, num_games, live_cost_of_spec(spec),
-                            chunk_override=expand_chunk)
+                            chunk_override=expand_chunk, label=spec)
     return act
 
 

@@ -101,13 +101,18 @@ def chunked_batched(act, chunk: int):
 
 
 def maybe_chunked(act, num_games: int, cost: int,
-                  chunk_override: int = 0, budget: int = LIVE_BUDGET):
+                  chunk_override: int = 0, budget: int = LIVE_BUDGET,
+                  label: str = ""):
     """Apply ``chunked_batched`` when the cost model says the full-batch
     vmap would exceed the live budget.  ``chunk_override``: >0 forces that
-    chunk size, <0 disables chunking, 0 = auto."""
+    chunk size, <0 disables chunking, 0 = auto.  ``label`` (optional)
+    logs the decision so on-chip runs record their memory layout."""
     if chunk_override < 0:
         return act
     chunk = chunk_override or auto_chunk(num_games, cost, budget)
     if chunk == 0 or chunk >= num_games:
         return act
+    if label:
+        print(f"[chunking] {label}: {num_games} games in chunks of "
+              f"{chunk} (cost {cost}/game)", flush=True)
     return chunked_batched(act, chunk)

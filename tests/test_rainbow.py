@@ -18,21 +18,25 @@ from gymothelloenv_tpu.agents.replay import (ReplayConfig, replay_init,
 CFG = RainbowConfig(n_step=1, initial_replay_size=0)
 
 
-def test_net_outputs_normalized_log_probs():
+def test_net_outputs_atom_logits():
+    """The net returns RAW atom logits (round 4: normalization moved to
+    consumers so the loss can select its action row first); softmaxing
+    the atom axis must give a distribution, and the dueling combine
+    zeroes the per-row advantage mean."""
     net = make_rainbow_net(CFG)
     x = jnp.zeros((3, 3, 8, 8))
     params = net.init(jax.random.PRNGKey(0), x)
-    log_p = net.apply(params, x)
-    assert log_p.shape == (3, 64, 51)
-    np.testing.assert_allclose(np.asarray(jnp.exp(log_p).sum(-1)), 1.0,
-                               rtol=1e-5)
+    logits = net.apply(params, x)
+    assert logits.shape == (3, 64, 51)
+    probs = jax.nn.softmax(logits, axis=-1)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-5)
     # Noisy path differs from deterministic path.
-    log_p_noisy = net.apply(params, x, jax.random.PRNGKey(1))
-    assert float(jnp.abs(log_p_noisy - log_p).max()) > 1e-6
+    logits_noisy = net.apply(params, x, jax.random.PRNGKey(1))
+    assert float(jnp.abs(logits_noisy - logits).max()) > 1e-6
     # Same noise key -> same output (reproducible).
-    log_p_noisy2 = net.apply(params, x, jax.random.PRNGKey(1))
-    np.testing.assert_allclose(np.asarray(log_p_noisy),
-                               np.asarray(log_p_noisy2))
+    logits_noisy2 = net.apply(params, x, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(logits_noisy),
+                               np.asarray(logits_noisy2))
 
 
 def test_projection_identity_when_reward_zero_gamma_one():
@@ -216,3 +220,54 @@ def test_projection_matches_scatter_reference():
             ref[i, hi[i, j]] += p[i, j] * w_hi[i, j]
     np.testing.assert_allclose(got, ref, atol=1e-5)
     np.testing.assert_allclose(got.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_loss_select_first_matches_normalize_first():
+    """Round-4 restructure: selecting the action row BEFORE log_softmax
+    must equal normalizing everything then selecting (atoms normalize
+    per (sample, action) row), for both the target distribution and the
+    train-side KL."""
+    from gymothelloenv_tpu.agents.rainbow import (_project_distribution,
+                                                  rainbow_loss_grads)
+
+    cfg = RainbowConfig(num_atoms=11, batch_size=8,
+                        initial_replay_size=0)
+    state = rainbow_init(cfg, jax.random.PRNGKey(3))
+    rng = np.random.RandomState(0)
+    n = 8
+    board = jnp.asarray(rng.randint(-1, 2, (n, 8, 8)), jnp.int8)
+    turn = jnp.asarray(rng.choice([-1, 1], n), jnp.int8)
+    action = jnp.asarray(rng.randint(0, 64, n), jnp.int32)
+    reward = jnp.asarray(rng.randn(n) * 0.1, jnp.float32)
+    done = jnp.asarray(rng.rand(n) < 0.3)
+    batch = (board, turn, action, reward, board, -turn, done)
+
+    net = make_rainbow_net(cfg)
+    apply_fn = lambda p, x, k=None: net.apply(p, x, k)
+    key = jax.random.PRNGKey(9)
+    (loss, kl), _ = rainbow_loss_grads(state, cfg, apply_fn, batch, key)
+
+    # Reference: normalize-everything-then-select (the old formulation),
+    # with the same key-split structure.
+    from gymothelloenv_tpu.agents.dqn import featurize3
+    k_online, k_target, k_train = jax.random.split(key, 3)
+    next_obs = featurize3(board, -turn)
+    online_next = jax.nn.log_softmax(
+        apply_fn(state.params, next_obs, k_online), axis=-1)
+    q = (jnp.exp(online_next) * cfg.support).sum(-1)
+    next_a = jnp.argmax(q, axis=-1)
+    target_next = jax.nn.log_softmax(
+        apply_fn(state.target_params, next_obs, k_target), axis=-1)
+    next_probs = jnp.exp(jnp.take_along_axis(
+        target_next, next_a[:, None, None], axis=1))[:, 0]
+    proj = _project_distribution(next_probs, reward,
+                                 1.0 - done.astype(jnp.float32), cfg)
+    log_p = jax.nn.log_softmax(
+        apply_fn(state.params, featurize3(board, turn), k_train), axis=-1)
+    log_pa = jnp.take_along_axis(log_p, action[:, None, None],
+                                 axis=1)[:, 0]
+    kl_ref = -(proj * log_pa).sum(-1)
+    np.testing.assert_allclose(np.asarray(kl), np.asarray(kl_ref),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(loss), float(kl_ref.mean()),
+                               rtol=2e-5)
