@@ -69,9 +69,15 @@ def auto_chunk(num_games: int, cost: int, budget: int = LIVE_BUDGET) -> int:
 
 def chunked_batched(act, chunk: int):
     """Lift a per-game ``act(key, state) -> action`` policy into a batched
-    ``act(keys, states) -> actions`` evaluated ``chunk`` games at a time
-    under ``lax.map`` (memory-bounded; the batch is padded with copies of
-    its head to a chunk multiple, and the padding's outputs dropped).
+    ``act(keys, states) -> actions`` evaluated ``chunk`` games at a time:
+    the first ``n // chunk`` chunks run under ``lax.map`` (one compiled
+    chunk-sized body, serialized), the remainder (``n % chunk`` games,
+    strictly smaller) as one direct vmap call.  No padding — an earlier
+    pad-to-multiple variant (concatenate head copies, drop the padded
+    outputs) crashed the TPU worker on large maximin-3 programs where the
+    pad-free shapes run clean (data/logs/queue/19*_*.log,
+    20b_bisect_crash.log).  Live memory is bounded by
+    ``chunk x per-game expansion`` either way.
 
     The returned function carries ``batched = True`` so the tournament
     runner calls it on the whole batch instead of vmapping it.
@@ -81,20 +87,21 @@ def chunked_batched(act, chunk: int):
 
     def batched_act(keys, states):
         n = keys.shape[0]
-        pad = (-n) % chunk
-        if pad:
-            keys_p = jnp.concatenate([keys, keys[:pad]], axis=0)
-            states_p = jax.tree.map(
-                lambda x: jnp.concatenate([x, x[:pad]], axis=0), states)
-        else:
-            keys_p, states_p = keys, states
-        m = (n + pad) // chunk
-        keys_r = keys_p.reshape((m, chunk) + keys_p.shape[1:])
-        states_r = jax.tree.map(
-            lambda x: x.reshape((m, chunk) + x.shape[1:]), states_p)
-        out = jax.lax.map(lambda kc: jax.vmap(act)(kc[0], kc[1]),
-                          (keys_r, states_r))
-        return out.reshape(-1)[:n]
+        m, r = divmod(n, chunk)
+        parts = []
+        if m > 0:
+            keys_r = keys[:m * chunk].reshape(
+                (m, chunk) + keys.shape[1:])
+            states_r = jax.tree.map(
+                lambda x: x[:m * chunk].reshape(
+                    (m, chunk) + x.shape[1:]), states)
+            out = jax.lax.map(lambda kc: jax.vmap(act)(kc[0], kc[1]),
+                              (keys_r, states_r))
+            parts.append(out.reshape(-1))
+        if r > 0:
+            tail = jax.tree.map(lambda x: x[m * chunk:], states)
+            parts.append(jax.vmap(act)(keys[m * chunk:], tail))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
     batched_act.batched = True
     return batched_act

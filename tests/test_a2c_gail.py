@@ -12,6 +12,10 @@ from gymothelloenv_tpu.agents.gail import (ExpertDataset, GAILConfig,
 from gymothelloenv_tpu.agents.ppo import Transition
 from gymothelloenv_tpu.models.nets import PolicyNet
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _rollout(T, N, key):
     ks = jax.random.split(key, 4)

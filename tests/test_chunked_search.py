@@ -9,6 +9,7 @@ lookahead cell).
 
 import functools
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,6 +61,7 @@ def test_chunked_maximin_matches_vmap():
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(chunked))
 
 
+@pytest.mark.slow
 def test_chunked_tournament_matches_unchunked():
     """play_games with a chunked deep search == the unchunked program at
     the same key (the chunking must be invisible to results)."""
@@ -132,6 +134,7 @@ def _explicit_lookahead2(s):
     return best_a
 
 
+@pytest.mark.slow
 def test_net_lookahead_depth2_matches_explicit_expansion():
     from gymothelloenv_tpu.train.ppo_trainer import net_lookahead_policy
 

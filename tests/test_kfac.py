@@ -1,6 +1,9 @@
 """KFAC/ACKTR tests."""
 
 import jax
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 import numpy as np
 

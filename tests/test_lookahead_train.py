@@ -101,6 +101,7 @@ def test_distill_loss_is_cross_entropy():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_lookahead_collect_distill_end_to_end():
     tr = PPOSelfPlayTrainer(
         RCFG,

@@ -1,5 +1,6 @@
 """Model zoo and masked-distribution tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -155,6 +156,7 @@ def test_gaussian_and_bernoulli_heads_init_and_apply():
     assert bdist.logits.shape == (7, 5)
 
 
+@pytest.mark.slow
 def test_alt_trunks_match_direct():
     """ConvTrunk impl='lifted'/'im2col' — the matmul-lowered paths — must
     produce the same outputs, gradients, and param tree as the direct

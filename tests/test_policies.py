@@ -4,6 +4,7 @@ README-documented equivalence maximin-1 == greedy and tournament statistics.
 
 import functools
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,6 +69,7 @@ def test_maximin_matches_oracle_depths_1_2():
             assert got == want, f"depth={depth} turn={turn}\n{board}"
 
 
+@pytest.mark.slow
 def test_maximin_depth3_matches_oracle_spot():
     jmm = jax.jit(functools.partial(maximin_action, cfg=CFG,
                                     max_search_depth=3))
@@ -109,6 +111,7 @@ def test_tournament_random_vs_random_roughly_even():
     assert abs(bw - ww) < 120, (bw, d, ww)
 
 
+@pytest.mark.slow
 def test_tournament_maximin2_beats_random():
     key = jax.random.PRNGKey(2)
     winners = play_games(key, CFG, maximin_policy(2, CFG), random_policy,

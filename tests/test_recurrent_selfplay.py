@@ -23,6 +23,10 @@ from gymothelloenv_tpu.train.ppo_trainer import (PPOSelfPlayTrainer,
 from gymothelloenv_tpu.train.self_play import (collect_rollout_recurrent,
                                                selfplay_init_recurrent)
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 HIDDEN = 32
 N = 12
 

@@ -8,6 +8,9 @@ sampler — regardless of how transitions are spread over shards.
 """
 
 import functools
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp

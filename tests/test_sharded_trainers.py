@@ -16,6 +16,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gymothelloenv_tpu.agents.dqn import DQNConfig
 from gymothelloenv_tpu.agents.rainbow import RainbowConfig
 from gymothelloenv_tpu.agents.replay import ReplayConfig

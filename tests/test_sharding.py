@@ -68,6 +68,7 @@ def test_dp_tp_mesh_train_step(setup):
                              for s in tp_leaves)
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device(setup):
     """Gradient math is identical on a 1-device and an 8-device mesh:
     same params in, same params out (up to float tolerance)."""

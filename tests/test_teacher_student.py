@@ -1,6 +1,9 @@
 """Teacher-student trainer + masked-GAE tests."""
 
 import jax
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 import numpy as np
 

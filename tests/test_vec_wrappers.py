@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gymothelloenv_tpu.agents.ppo import (PPOConfig, Transition, compute_gae,
                                           compute_gae_time_limits)
 from gymothelloenv_tpu.envs import (frame_stack_init, frame_stack_step,
