@@ -42,6 +42,16 @@ COST_LOOKAHEAD_2 = 65536  # 64x the above
 # both sides of a pairing are deep searches).
 LIVE_BUDGET = 1 << 18
 
+# Empirical TPU workaround (round-4 bisect, data/logs/queue/
+# 20b_bisect_crash.log + 19_diag_chunking.log): maximin-deep programs
+# chunked at EXACTLY 64 games (= the 64-action space: a 64x64x64
+# games-by-roots-by-leaves expansion) crash the TPU worker with a kernel
+# fault, pad-free or padded, at any total game count — while chunks of
+# 25/50 run clean and bit-match unchunked results, and the net-lookahead
+# expansion runs fine at chunk 128.  Cap deep-search chunks below that
+# shape until the underlying XLA:TPU issue is understood.
+DEEP_CHUNK_CAP = 50
+
 
 def live_cost_of_spec(spec: str, lookahead_depth: int = 0) -> int:
     """Per-game live cost of a policy spec string (tournament CLI specs:
@@ -61,10 +71,15 @@ def live_cost_of_spec(spec: str, lookahead_depth: int = 0) -> int:
 
 def auto_chunk(num_games: int, cost: int, budget: int = LIVE_BUDGET) -> int:
     """Largest chunk that keeps ``chunk * cost`` within ``budget`` (at
-    least 1); 0 means "no chunking needed" (the full batch fits)."""
+    least 1); 0 means "no chunking needed" (the full batch fits).  Deep
+    scripted searches are additionally capped at ``DEEP_CHUNK_CAP`` (see
+    the note above)."""
     if num_games * cost <= budget:
         return 0
-    return max(1, budget // cost)
+    chunk = max(1, budget // cost)
+    if cost >= COST_MAXIMIN_DEEP:
+        chunk = min(chunk, DEEP_CHUNK_CAP)
+    return chunk
 
 
 def chunked_batched(act, chunk: int):

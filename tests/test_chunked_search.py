@@ -83,9 +83,12 @@ def test_auto_chunk_cost_model():
     assert live_cost_of_spec("maximin-3") == 4096
     assert live_cost_of_spec("", lookahead_depth=1) == 2048
     assert live_cost_of_spec("", lookahead_depth=2) == 65536
-    # Small programs aren't chunked; big ones are bounded.
+    # Small programs aren't chunked; big ones are bounded; deep-search
+    # chunks are capped below the 64-game shape (DEEP_CHUNK_CAP — the
+    # 64x64x64 expansion crashes the TPU worker, see chunking.py).
     assert auto_chunk(50, 4096) == 0
-    assert auto_chunk(1000, 4096) == 64
+    assert auto_chunk(1000, 4096) == 50
+    assert auto_chunk(1000, 2048) == 128
     assert auto_chunk(1000, 65536) == 4
     assert auto_chunk(10**6, 10**9) == 1
     # maybe_chunked wiring: cheap or small => identity.
