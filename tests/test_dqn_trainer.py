@@ -1,3 +1,4 @@
+import pytest
 """Batched DQN trainer smoke tests (train/dqn_trainer.py collection loop:
 slot-scan self-play, pending-pair terminal crediting, n-step FIFO ->
 on-device replay -> minibatch updates)."""
@@ -35,6 +36,7 @@ def _one_chunk(trainer):
     return metrics
 
 
+@pytest.mark.slow
 def test_dqn_trainer_selfplay_chunk():
     trainer = _make(opponent=None)
     metrics = _one_chunk(trainer)
@@ -46,6 +48,7 @@ def test_dqn_trainer_selfplay_chunk():
         assert 0.0 <= v <= 1.0
 
 
+@pytest.mark.slow
 def test_dqn_trainer_vs_scripted_chunk():
     trainer = _make(opponent="rand", n_step=3, double=True, dueling=True)
     m1 = _one_chunk(trainer)
@@ -56,6 +59,7 @@ def test_dqn_trainer_vs_scripted_chunk():
     assert int(m2["transitions"]) > int(m1["transitions"]) > 0
 
 
+@pytest.mark.slow
 def test_dqn_bit_and_plane_collection_identical():
     """The bit-engine collection path (8x8 default) must fill the replay
     transition-for-transition identically to the plane path: same rules,

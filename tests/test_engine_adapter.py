@@ -1,3 +1,4 @@
+import pytest
 """The bit-engine collector path must be transition-for-transition identical
 to the plane path: both engines implement the same reference semantics
 (othello.py:217-501), and with ``init_rand_steps=0`` the collectors consume
@@ -83,6 +84,7 @@ def test_bit_outcome_matches_plane():
             np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
 
 
+@pytest.mark.slow
 def test_collect_rollout_bit_matches_plane_exactly():
     cfg = EnvConfig(num_disk_as_reward=True)
     apply_fn = _linear_apply_fn(jax.random.PRNGKey(11))

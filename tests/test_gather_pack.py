@@ -1,3 +1,4 @@
+import pytest
 """ops/gather.py pack_rows: bit-exact byte packing, and agreement of the
 packed single-gather PPO minibatch path with a naive per-leaf gather
 implementation of the same update."""
@@ -48,6 +49,7 @@ def test_pack_rows_under_jit():
     np.testing.assert_array_equal(np.asarray(out["b"]), [1, 4])
 
 
+@pytest.mark.slow
 def test_packed_ppo_update_matches_naive_gathers():
     """ppo_update's packed minibatch fetch must match an implementation
     that gathers each leaf (and adv/ret) separately — the

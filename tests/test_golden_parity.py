@@ -79,7 +79,11 @@ def test_golden_engine_replay(game):
 _POSITION_CAP = {"greedy": 16, "maximin-2": 16, "maximin-3": 4}
 
 
-@pytest.mark.parametrize("game", DATA["games"], ids=GAME_IDS)
+@pytest.mark.parametrize(
+    "game",
+    [pytest.param(g, marks=[pytest.mark.slow]
+                  if "maximin-3" in (g["black"], g["white"]) else [])
+     for g in DATA["games"]], ids=GAME_IDS)
 def test_golden_policy_actions(game):
     states = replay_engine(game)
     turns = np.asarray([rec["turn"] for rec in game["steps"]])

@@ -1,3 +1,4 @@
+import pytest
 """PPO agent tests: GAE vs the reference recurrence, masked-update learning,
 self-play rollout invariants, trainer smoke + checkpoint roundtrip."""
 
@@ -157,6 +158,7 @@ def test_trainer_smoke_and_checkpoint(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_checkpoint_step_placeholder(tmp_path):
     """A ``{step}`` placeholder in the checkpoint path keeps one file per
     interval save instead of overwriting (post-hoc early stopping)."""
@@ -307,6 +309,7 @@ def test_flatten_optimizer_matches_unflattened():
                                    rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_opponent_pool_training():
     """League-lite: the non-learning color plays a frozen pool snapshot.
     Pool fills at pool_interval, caps at opponent_pool, and training
@@ -375,6 +378,7 @@ def test_eval_checkpoint_head_to_head(tmp_path):
     assert 0 < w < 16 and 0 < l < 16
 
 
+@pytest.mark.slow
 def test_chain_updates_mode():
     """chain_updates scans K train steps per jitted dispatch; cadence
     (eval/save) quantizes to interval crossings."""

@@ -48,12 +48,14 @@ def test_8_devices_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_dp_mesh_train_step(setup):
     mesh = make_mesh(8, model_parallel=1)
     _, metrics = _run(mesh, setup)
     assert np.isfinite(float(metrics["value_loss"]))
 
 
+@pytest.mark.slow
 def test_dp_tp_mesh_train_step(setup):
     mesh = make_mesh(8, model_parallel=2)
     params, metrics = _run(mesh, setup)
