@@ -111,47 +111,64 @@ def main(argv=None):
         else:
             net_act = net_tournament_policy(params, apply_fn)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def run(params, key):
-        def play(k, prot_color):
-            """One half of the games with the protagonist on
-            ``prot_color``; returns winners."""
-            if recurrent:
-                cell = (net_lookahead_cell_recurrent(
-                            params, apply_fn, lookahead_cfg,
-                            depth=args.lookahead_depth)
-                        if args.lookahead else None)
-                opp_cell = (net_sampling_cell(opp_params, opp_apply)
-                            if opp_recurrent else None)
-                return play_games_recurrent(
-                    k, cfg, params, apply_fn, opp, n, prot_color,
-                    args.init_rand_steps, apply_fn.hidden_size,
-                    act_cell=cell, opp_cell=opp_cell,
-                    opp_hidden_size=(opp_apply.hidden_size
-                                     if opp_recurrent else 0))
-            if opp_recurrent:
-                # Feed-forward protagonist vs recurrent opponent: run the
-                # stateful runner with the roles swapped (the recurrent
-                # side is its "net").
-                return play_games_recurrent(
-                    k, cfg, opp_params, opp_apply, net_act, n,
-                    -prot_color, args.init_rand_steps,
-                    opp_apply.hidden_size)
-            black, white = ((net_act, opp) if prot_color == -1
-                            else (opp, net_act))
-            return play_games_impl(k, cfg, black, white, n,
-                                   args.init_rand_steps)
+    def make_run(n_seg):
+        @functools.partial(jax.jit, static_argnames=())
+        def run(params, key):
+            def play(k, prot_color):
+                """``n_seg`` games with the protagonist on
+                ``prot_color``; returns winners."""
+                if recurrent:
+                    cell = (net_lookahead_cell_recurrent(
+                                params, apply_fn, lookahead_cfg,
+                                depth=args.lookahead_depth)
+                            if args.lookahead else None)
+                    opp_cell = (net_sampling_cell(opp_params, opp_apply)
+                                if opp_recurrent else None)
+                    return play_games_recurrent(
+                        k, cfg, params, apply_fn, opp, n_seg, prot_color,
+                        args.init_rand_steps, apply_fn.hidden_size,
+                        act_cell=cell, opp_cell=opp_cell,
+                        opp_hidden_size=(opp_apply.hidden_size
+                                         if opp_recurrent else 0))
+                if opp_recurrent:
+                    # Feed-forward protagonist vs recurrent opponent:
+                    # run the stateful runner with the roles swapped
+                    # (the recurrent side is its "net").
+                    return play_games_recurrent(
+                        k, cfg, opp_params, opp_apply, net_act, n_seg,
+                        -prot_color, args.init_rand_steps,
+                        opp_apply.hidden_size)
+                black, white = ((net_act, opp) if prot_color == -1
+                                else (opp, net_act))
+                return play_games_impl(k, cfg, black, white, n_seg,
+                                       args.init_rand_steps)
 
-        k1, k2 = jax.random.split(key)
-        as_black = play(k1, -1)
-        as_white = play(k2, 1)
-        wins = (as_black == -1).sum() + (as_white == 1).sum()
-        draws = (as_black == 0).sum() + (as_white == 0).sum()
-        return wins, draws
+            k1, k2 = jax.random.split(key)
+            as_black = play(k1, -1)
+            as_white = play(k2, 1)
+            wins = (as_black == -1).sum() + (as_white == 1).sum()
+            draws = (as_black == 0).sum() + (as_white == 0).sum()
+            return wins, draws
+        return run
+
+    # Depth>=3 maximin opponents run full-vmap in host-side segments of
+    # the proven-safe size (multiple dispatches; see policies/chunking.py
+    # SAFE_DEEP3_GAMES note); everything else is one program.
+    from gymothelloenv_tpu.policies.chunking import host_segment_size
+    seg = host_segment_size((opp_spec,), n)
 
     t0 = time.time()
-    wins, draws = run(params, jax.random.PRNGKey(args.seed))
-    wins, draws = int(wins), int(draws)
+    key = jax.random.PRNGKey(args.seed)
+    wins = draws = 0
+    left, runners = n, {}
+    while left > 0:
+        n_seg = min(seg, left)
+        if n_seg not in runners:
+            runners[n_seg] = make_run(n_seg)
+        key, sub = jax.random.split(key)
+        w, dr = runners[n_seg](params, sub)
+        wins, draws = wins + int(w), draws + int(dr)
+        left -= n_seg
     losses = 2 * n - wins - draws
     print(f"checkpoint vs {args.opponent}: {wins} / {draws} / {losses} "
           f"(W/D/L over {2 * n} games, half each color)  "

@@ -29,13 +29,17 @@ def policy_from_spec(spec: str, cfg: EnvConfig,
     are lax.map-chunked so any game count fits on device (the reference's
     per-game recursion never OOMs either, simple_policies.py:111-155).
     ``expand_chunk``: 0 = auto from the cost model, >0 = forced chunk,
-    <0 = full vmap (the old behavior)."""
+    <0 = full vmap (the old behavior).  Depth>=3 maximin is never
+    device-chunked (see chunking.device_chunk_unsafe) — callers bound
+    its memory by splitting games into host-side segments
+    (``chunking.host_segment_size``) instead."""
     if spec.startswith("maximin-"):
         act = make_policy("maximin", cfg,
                           search_depth=int(spec.split("-")[1]))
     else:
         act = make_policy(spec, cfg)
-    if num_games > 0:
+    from gymothelloenv_tpu.policies.chunking import device_chunk_unsafe
+    if num_games > 0 and not device_chunk_unsafe(spec):
         act = maybe_chunked(act, num_games, live_cost_of_spec(spec),
                             chunk_override=expand_chunk, label=spec)
     return act
@@ -77,14 +81,26 @@ def main(argv=None):
                 expand_chunk=args.expand_chunk)
         return policies[spec]
 
+    from gymothelloenv_tpu.policies.chunking import host_segment_size
+
     results = {}
     for black, white in pairs:
-        key, sub = jax.random.split(key)
         t0 = time.time()
-        winners = play_games(sub, cfg, get(black), get(white),
-                             num_games=args.games,
-                             init_rand_steps=args.init_rand_steps)
-        bw, d, ww = (int(x) for x in tally(winners))
+        # Depth>=3 searches run full-vmap in host-side segments of the
+        # proven-safe size; everything else is one device program
+        # (device-chunked as needed).  See policies/chunking.py.
+        seg = host_segment_size((black, white), args.games)
+        bw = d = ww = 0
+        left = args.games
+        while left > 0:
+            n = min(seg, left)
+            key, sub = jax.random.split(key)
+            winners = play_games(sub, cfg, get(black), get(white),
+                                 num_games=n,
+                                 init_rand_steps=args.init_rand_steps)
+            b_, d_, w_ = (int(x) for x in tally(winners))
+            bw, d, ww = bw + b_, d + d_, ww + w_
+            left -= n
         dt = time.time() - t0
         results[(black, white)] = (bw, d, ww)
         print(f"{black:>10} (B) vs {white:<10} (W):  "

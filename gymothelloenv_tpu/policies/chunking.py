@@ -42,15 +42,40 @@ COST_LOOKAHEAD_2 = 65536  # 64x the above
 # both sides of a pairing are deep searches).
 LIVE_BUDGET = 1 << 18
 
-# Empirical TPU workaround (round-4 bisect, data/logs/queue/
-# 20b_bisect_crash.log + 19_diag_chunking.log): maximin-deep programs
-# chunked at EXACTLY 64 games (= the 64-action space: a 64x64x64
-# games-by-roots-by-leaves expansion) crash the TPU worker with a kernel
-# fault, pad-free or padded, at any total game count — while chunks of
-# 25/50 run clean and bit-match unchunked results, and the net-lookahead
-# expansion runs fine at chunk 128.  Cap deep-search chunks below that
-# shape until the underlying XLA:TPU issue is understood.
+# Empirical TPU findings (round-4 bisect, data/logs/queue/
+# 19_diag_chunking.log, 20b_bisect_crash.log, 20f_headline_retry.log):
+#   * maximin-2 and net-lookahead device-chunking runs clean and
+#     bit-matches unchunked results (chunk 25/50 for maximin-2, 128 for
+#     lookahead-1, 4 for lookahead-2) — but deep chunks of exactly 64
+#     (the 64x64x64 games/roots/leaves shape) kernel-fault the worker,
+#     so deep chunks are capped at DEEP_CHUNK_CAP.
+#   * maximin-3 under an OUTER game lax.map (its root expansion is
+#     itself an inner lax.map -> map-in-map inside the tournament
+#     while_loop) crashes at n >= 200 games REGARDLESS of chunk size,
+#     while the round-3 full-vmap shape is proven clean to ~125 games.
+#     Depth>=3 searches are therefore never device-chunked; the CLIs run
+#     them full-vmap in host-side segments of <= SAFE_DEEP3_GAMES games
+#     (multiple dispatches of the proven program shape).
 DEEP_CHUNK_CAP = 50
+SAFE_DEEP3_GAMES = 100
+
+
+def device_chunk_unsafe(spec: str) -> bool:
+    """True for policies whose expansion cannot ride the outer game
+    lax.map on TPU (maximin depth >= 3 — see the note above)."""
+    if spec.startswith("maximin-"):
+        return int(spec.split("-")[1]) >= 3
+    return False
+
+
+def host_segment_size(specs, num_games: int) -> int:
+    """Games per host-side program segment: ``num_games`` (one program)
+    unless a depth>=3 search is involved and the batch exceeds the safe
+    full-vmap size."""
+    if num_games > SAFE_DEEP3_GAMES and any(
+            device_chunk_unsafe(s) for s in specs):
+        return SAFE_DEEP3_GAMES
+    return num_games
 
 
 def live_cost_of_spec(spec: str, lookahead_depth: int = 0) -> int:

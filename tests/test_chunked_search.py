@@ -267,3 +267,30 @@ def test_real_recurrent_head_to_head_runs():
     w = np.asarray(w)
     assert w.shape == (6,)
     assert set(np.unique(w)).issubset({-1, 0, 1})
+
+
+def test_host_segmentation(monkeypatch):
+    """The eval CLI splits depth>=3 programs into host-side segments and
+    pools tallies.  Exercised cheaply by flagging 'greedy' as
+    device-chunk-unsafe with a tiny safe size — 6 games over segments of
+    2+1 per color must still report totals over 6 games."""
+    import contextlib
+    import io
+
+    import gymothelloenv_tpu.policies.chunking as chunking
+    from gymothelloenv_tpu.cli import eval_checkpoint
+    from gymothelloenv_tpu.policies.chunking import host_segment_size
+
+    assert host_segment_size(("maximin-3",), 1000) == 100
+    assert host_segment_size(("maximin-2",), 1000) == 1000
+    assert host_segment_size(("maximin-3",), 80) == 80
+
+    monkeypatch.setattr(chunking, "SAFE_DEEP3_GAMES", 2)
+    monkeypatch.setattr(chunking, "device_chunk_unsafe",
+                        lambda spec: spec == "greedy")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        eval_checkpoint.main([
+            "--load", "data/selfplay/ppo_fast4096_500.msgpack",
+            "--opponent", "greedy", "--games", "6", "--seed", "3"])
+    assert "over 6 games" in buf.getvalue()
