@@ -38,11 +38,14 @@ def main(argv=None):
     p.add_argument("--opponent", default="maximin-2")
     p.add_argument("--games", type=int, default=400)
     p.add_argument("--init-rand-steps", type=int, default=10)
+    p.add_argument("--lookahead", action="store_true",
+                   help="evaluate each snapshot with the 1-ply value "
+                        "lookahead operator (feed-forward only)")
     p.add_argument("--seed", type=int, default=0)
     args, _ = p.parse_known_args(argv)
 
     cfg = EnvConfig()
-    opp = policy_from_spec(args.opponent, cfg)
+    opp = policy_from_spec(args.opponent, cfg, num_games=args.games // 2)
     n = args.games // 2
     steps = [int(s) for s in args.steps.split(",")]
 
@@ -72,7 +75,18 @@ def main(argv=None):
                     wins = (as_black == -1).sum() + (as_white == 1).sum()
                     draws = (as_black == 0).sum() + (as_white == 0).sum()
                     return wins, draws
-                net_act = net_tournament_policy(params, apply_fn)
+                if args.lookahead:
+                    from gymothelloenv_tpu.policies.chunking import (
+                        live_cost_of_spec, maybe_chunked)
+                    from gymothelloenv_tpu.train.ppo_trainer import (
+                        net_lookahead_policy)
+                    net_act = maybe_chunked(
+                        net_lookahead_policy(
+                            params, apply_fn,
+                            EnvConfig(num_disk_as_reward=True)),
+                        n, live_cost_of_spec("", lookahead_depth=1))
+                else:
+                    net_act = net_tournament_policy(params, apply_fn)
                 as_black = play_games_impl(k1, cfg, net_act, opp, n,
                                            args.init_rand_steps)
                 as_white = play_games_impl(k2, cfg, opp, net_act, n,
