@@ -157,6 +157,13 @@ def maybe_chunked(act, num_games: int, cost: int,
     if chunk_override < 0:
         return act
     chunk = chunk_override or auto_chunk(num_games, cost, budget)
+    if chunk_override > DEEP_CHUNK_CAP and cost >= COST_MAXIMIN_DEEP:
+        # Even explicit overrides must not reach the faulting 64-game
+        # deep-expansion shape (no user-reachable crash).
+        print(f"[chunking] {label or 'deep search'}: forced chunk "
+              f"{chunk_override} clamped to {DEEP_CHUNK_CAP} "
+              f"(see DEEP_CHUNK_CAP note)", flush=True)
+        chunk = DEEP_CHUNK_CAP
     if chunk == 0 or chunk >= num_games:
         return act
     if label:
