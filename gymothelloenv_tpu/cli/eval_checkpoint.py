@@ -51,6 +51,11 @@ def main(argv=None):
                         help="value-lookahead search depth (2 = full "
                              "opponent-reply minimax over A^2 "
                              "grandchildren; implies --lookahead)")
+    parser.add_argument("--opp-lookahead-depth", type=int, default=0,
+                        choices=(0, 1, 2),
+                        help="give a CHECKPOINT opponent the value-"
+                             "lookahead operator too (0 = raw sampling; "
+                             "best-vs-best head-to-heads)")
     parser.add_argument("--expand-chunk", type=int, default=0,
                         help="game-chunk size for deep-search policies "
                              "(lookahead / maximin-2+): 0 = auto from "
@@ -89,9 +94,24 @@ def main(argv=None):
         net_lookahead_cell_recurrent, net_lookahead_policy,
         net_sampling_cell, play_games_recurrent)
 
+    opp_la = args.opp_lookahead_depth
+    if opp_la and opp_apply is None:
+        parser.error("--opp-lookahead-depth needs a checkpoint opponent "
+                     "(ckpt:<path> / *.msgpack / *.pth)")
+    if opp_la and opp_recurrent and opp_la != 1:
+        parser.error("recurrent opponents support lookahead depth 1 only")
     if opp_apply is not None:
-        opp = (None if opp_recurrent
-               else net_tournament_policy(opp_params, opp_apply))
+        if opp_recurrent:
+            opp = None
+        elif opp_la:
+            opp = net_lookahead_policy(opp_params, opp_apply,
+                                       lookahead_cfg, depth=opp_la)
+            opp = maybe_chunked(
+                opp, n, live_cost_of_spec("", lookahead_depth=opp_la),
+                chunk_override=args.expand_chunk,
+                label=f"opp-lookahead-{opp_la}")
+        else:
+            opp = net_tournament_policy(opp_params, opp_apply)
     else:
         opp = policy_from_spec(opp_spec, cfg, num_games=n,
                                expand_chunk=args.expand_chunk)
@@ -122,8 +142,15 @@ def main(argv=None):
                                 params, apply_fn, lookahead_cfg,
                                 depth=args.lookahead_depth)
                             if args.lookahead else None)
-                    opp_cell = (net_sampling_cell(opp_params, opp_apply)
-                                if opp_recurrent else None)
+                    if opp_recurrent:
+                        opp_cell = (net_lookahead_cell_recurrent(
+                                        opp_params, opp_apply,
+                                        lookahead_cfg, depth=1)
+                                    if opp_la else
+                                    net_sampling_cell(opp_params,
+                                                      opp_apply))
+                    else:
+                        opp_cell = None
                     return play_games_recurrent(
                         k, cfg, params, apply_fn, opp, n_seg, prot_color,
                         args.init_rand_steps, apply_fn.hidden_size,
@@ -134,10 +161,14 @@ def main(argv=None):
                     # Feed-forward protagonist vs recurrent opponent:
                     # run the stateful runner with the roles swapped
                     # (the recurrent side is its "net").
+                    opp_act_cell = (net_lookahead_cell_recurrent(
+                                        opp_params, opp_apply,
+                                        lookahead_cfg, depth=1)
+                                    if opp_la else None)
                     return play_games_recurrent(
                         k, cfg, opp_params, opp_apply, net_act, n_seg,
                         -prot_color, args.init_rand_steps,
-                        opp_apply.hidden_size)
+                        opp_apply.hidden_size, act_cell=opp_act_cell)
                 black, white = ((net_act, opp) if prot_color == -1
                                 else (opp, net_act))
                 return play_games_impl(k, cfg, black, white, n_seg,

@@ -269,6 +269,30 @@ def test_real_recurrent_head_to_head_runs():
     assert set(np.unique(w)).issubset({-1, 0, 1})
 
 
+def test_opp_lookahead_cli():
+    """--opp-lookahead-depth gives a CHECKPOINT opponent the value-
+    lookahead operator (best-vs-best head-to-heads); scripted opponents
+    reject the flag."""
+    import contextlib
+    import io
+
+    from gymothelloenv_tpu.cli import eval_checkpoint
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        eval_checkpoint.main([
+            "--load", "data/selfplay/ppo_fast4096_500.msgpack",
+            "--opponent", "ckpt:data/selfplay/ppo_fast4096_500.msgpack",
+            "--opp-lookahead-depth", "1", "--games", "4", "--seed", "3"])
+    assert "over 4 games" in buf.getvalue()
+
+    with pytest.raises(SystemExit):
+        eval_checkpoint.main([
+            "--load", "data/selfplay/ppo_fast4096_500.msgpack",
+            "--opponent", "greedy",
+            "--opp-lookahead-depth", "1", "--games", "4"])
+
+
 def test_host_segmentation(monkeypatch):
     """The eval CLI splits depth>=3 programs into host-side segments and
     pools tallies.  Exercised cheaply by flagging 'greedy' as
