@@ -182,11 +182,22 @@ def main(argv=None):
             return wins, draws
         return run
 
-    # Depth>=3 maximin opponents run full-vmap in host-side segments of
-    # the proven-safe size (multiple dispatches; see policies/chunking.py
-    # SAFE_DEEP3_GAMES note); everything else is one program.
-    from gymothelloenv_tpu.policies.chunking import host_segment_size
-    seg = host_segment_size((opp_spec,), n)
+    # Memory-model entry for programs that can't be device-chunked:
+    # depth>=4 maximin opponents run full-vmap in host-side segments of
+    # the proven-safe size, and RECURRENT lookahead actors (protagonist
+    # or armed recurrent opponent) — whose 64-child GRU expansion lives
+    # inside the stateful game loop where chunked_batched can't reach —
+    # bound the games-per-program so segment x per-game cost fits the
+    # live budget (each segment's hiddens start at zero, so segmentation
+    # is exact).  Everything else is one program.
+    from gymothelloenv_tpu.policies.chunking import (COST_LOOKAHEAD_1,
+                                                     host_segment_size)
+    cell_cost = 0
+    if recurrent and args.lookahead:
+        cell_cost += COST_LOOKAHEAD_1
+    if opp_recurrent and opp_la:
+        cell_cost += COST_LOOKAHEAD_1
+    seg = host_segment_size((opp_spec,), n, cell_cost=cell_cost)
 
     t0 = time.time()
     key = jax.random.PRNGKey(args.seed)

@@ -63,6 +63,14 @@ def main(argv=None):
                              "self-play)")
     parser.add_argument("--pool-interval", type=int, default=250,
                         help="updates between pool snapshots")
+    parser.add_argument("--pool-anchor", action="append", default=[],
+                        metavar="CKPT",
+                        help="external checkpoint mixed PERMANENTLY into "
+                             "the opponent pool (repeatable; same "
+                             "architecture as the training net; needs "
+                             "--opponent-pool > 0).  Anchors pin a broad "
+                             "opponent distribution during, e.g., "
+                             "--lookahead-collect training")
     parser.add_argument("--chain-updates", type=int, default=1,
                         help="scan K train steps per jitted dispatch "
                              "(amortizes ~4ms/step tunnel overhead; "
@@ -120,7 +128,8 @@ def main(argv=None):
         save_interval=args.save_interval, seed=args.seed,
         bf16=args.bf16, hidden_size=args.hidden_size,
         width_mult=args.width_mult, opponent_pool=args.opponent_pool,
-        pool_interval=args.pool_interval, recurrent=args.recurrent,
+        pool_interval=args.pool_interval,
+        pool_anchors=tuple(args.pool_anchor), recurrent=args.recurrent,
         frame_stack=args.frame_stack,
         max_episode_plies=args.max_episode_plies,
         chain_updates=args.chain_updates,

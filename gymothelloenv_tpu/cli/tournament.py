@@ -29,17 +29,27 @@ def policy_from_spec(spec: str, cfg: EnvConfig,
     are lax.map-chunked so any game count fits on device (the reference's
     per-game recursion never OOMs either, simple_policies.py:111-155).
     ``expand_chunk``: 0 = auto from the cost model, >0 = forced chunk,
-    <0 = full vmap (the old behavior).  Depth>=3 maximin is never
-    device-chunked (see chunking.device_chunk_unsafe) — callers bound
-    its memory by splitting games into host-side segments
+    <0 = full vmap (the old behavior).  Depth-3 maximin gets the
+    restructured batched path (``chunking.maximin_deep_batched``: root
+    ply folded into the chunk axis — one lax.map level, any game count);
+    depth >= 4 is never device-chunked (nested root maps,
+    chunking.device_chunk_unsafe) — callers bound its memory by
+    splitting games into host-side segments
     (``chunking.host_segment_size``) instead."""
+    from gymothelloenv_tpu.policies import chunking
     if spec.startswith("maximin-"):
-        act = make_policy("maximin", cfg,
-                          search_depth=int(spec.split("-")[1]))
+        depth = int(spec.split("-")[1])
+        # expand_chunk < 0 keeps the old per-game full-vmap act (root
+        # lax.map serializes the 64x expansion; n x 4096 live — smaller
+        # than an unchunked node batch would be).
+        if (depth == 3 and num_games > 0 and expand_chunk >= 0
+                and chunking.DEEP3_BATCHED):
+            return chunking.maximin_deep_batched(
+                cfg, num_games, chunk_override=expand_chunk)
+        act = make_policy("maximin", cfg, search_depth=depth)
     else:
         act = make_policy(spec, cfg)
-    from gymothelloenv_tpu.policies.chunking import device_chunk_unsafe
-    if num_games > 0 and not device_chunk_unsafe(spec):
+    if num_games > 0 and not chunking.device_chunk_unsafe(spec):
         act = maybe_chunked(act, num_games, live_cost_of_spec(spec),
                             chunk_override=expand_chunk, label=spec)
     return act

@@ -37,10 +37,58 @@ COST_MAXIMIN_DEEP = 4096  # depth>=2: 64x64 live boards (deeper levels
 COST_LOOKAHEAD_1 = 2048   # 64 children + featurized obs + trunk acts
 COST_LOOKAHEAD_2 = 65536  # 64x the above
 
-# Live-unit budget per policy call.  262144 units => chunk 64 for
-# maximin-2/3 (16x under the observed 125-game limit incl. the case where
-# both sides of a pairing are deep searches).
-LIVE_BUDGET = 1 << 18
+# Fallback live-unit budget per policy call when device memory can't be
+# queried (CPU meshes, tests).  262144 units => chunk 64 for maximin-2/3
+# (16x under the observed 125-game limit incl. the case where both sides
+# of a pairing are deep searches).
+DEFAULT_LIVE_BUDGET = 1 << 18
+# Back-compat alias (scripts/tests import this name).
+LIVE_BUDGET = DEFAULT_LIVE_BUDGET
+
+# Unit calibration for the device-derived budget (round-5 VERDICT item
+# 1b): one "unit" is ~one 8x8 child board plus its share of plane
+# intermediates and trunk activations — physically ~8-16 KB live at
+# peak.  UNIT_BYTES = 64 KiB prices a unit at 4-8x its physical
+# footprint, so a chip-derived budget of bytes_limit // UNIT_BYTES keeps
+# the same safety margin the hand-calibrated 1<<18 had on the 16 GiB
+# chip it was bisected on (17.18e9 / 65536 = 262144 — the derivation
+# reproduces the proven constant there and scales with HBM elsewhere).
+UNIT_BYTES = 1 << 16
+# Never trust the derivation outside the envelope the crash bisect
+# explored: floor at a quarter of the proven budget (tiny devices still
+# get working, smaller chunks) and cap at 16x (a 256 GiB device has no
+# crash data behind it; DEEP_CHUNK_CAP below still binds regardless).
+BUDGET_FLOOR = DEFAULT_LIVE_BUDGET // 4
+BUDGET_CAP = DEFAULT_LIVE_BUDGET * 16
+
+_budget_cache: list = []
+
+
+def live_budget() -> int:
+    """Per-policy-call live-unit budget, derived from the local device's
+    HBM size (``memory_stats()['bytes_limit']``) when available, else
+    ``DEFAULT_LIVE_BUDGET``.  Cached after first query (device topology
+    doesn't change mid-process).
+
+    Probed 2026-08-21 (data/logs/queue/43_mem_probe.log): the axon
+    tunnel's TPU v5 lite reports ``memory_stats() = None``, so THIS
+    chip runs on the fallback — which equals the derivation for its
+    16 GiB HBM (17.18e9 // 65536 = 262144), i.e. fallback and formula
+    agree on the hardware the crash bisect calibrated.  Backends that do
+    report stats get the scaled budget."""
+    if not _budget_cache:
+        budget = DEFAULT_LIVE_BUDGET
+        try:
+            import jax as _jax
+            stats = _jax.local_devices()[0].memory_stats() or {}
+            limit = int(stats.get("bytes_limit", 0))
+            if limit > 0:
+                budget = max(BUDGET_FLOOR,
+                             min(BUDGET_CAP, limit // UNIT_BYTES))
+        except Exception:
+            pass
+        _budget_cache.append(budget)
+    return _budget_cache[0]
 
 # Empirical TPU findings (round-4 bisect, data/logs/queue/
 # 19_diag_chunking.log, 20b_bisect_crash.log, 20f_headline_retry.log):
@@ -60,22 +108,105 @@ DEEP_CHUNK_CAP = 50
 SAFE_DEEP3_GAMES = 100
 
 
+# Depth-3 maximin has a RESTRUCTURED device-chunked path since round 5
+# (``maximin_deep_batched`` below: the root ply is folded into the chunk
+# axis, so the compiled program has ONE lax.map level instead of the
+# map-in-map that crashed the worker).  Flip to False to fall back to
+# the round-4 host-segmentation behavior if a future jax build regresses.
+DEEP3_BATCHED = True
+
+
 def device_chunk_unsafe(spec: str) -> bool:
-    """True for policies whose expansion cannot ride the outer game
-    lax.map on TPU (maximin depth >= 3 — see the note above)."""
+    """True for policies whose per-game expansion cannot ride the outer
+    game lax.map on TPU (nested lax.map root expansions — see the note
+    above).  Depth-3 gets the restructured single-map batched path
+    (``maximin_deep_batched``) instead; depth >= 4 roots still nest maps
+    per game and stay host-segmented."""
     if spec.startswith("maximin-"):
-        return int(spec.split("-")[1]) >= 3
+        depth = int(spec.split("-")[1])
+        return depth >= 4 or (depth == 3 and not DEEP3_BATCHED)
     return False
 
 
-def host_segment_size(specs, num_games: int) -> int:
+def host_segment_size(specs, num_games: int, cell_cost: int = 0) -> int:
     """Games per host-side program segment: ``num_games`` (one program)
-    unless a depth>=3 search is involved and the batch exceeds the safe
-    full-vmap size."""
+    unless (a) a device-chunk-unsafe search is involved and the batch
+    exceeds the safe full-vmap size, or (b) ``cell_cost`` > 0 — a
+    per-game live cost for stateful (recurrent) actors that cannot be
+    device-chunked because their hidden threads live in the game loop
+    carry; the segment is then bounded so ``segment * cell_cost`` fits
+    the live budget (each segment starts its games' hiddens at zero, so
+    host segmentation is exact for them)."""
+    seg = num_games
     if num_games > SAFE_DEEP3_GAMES and any(
             device_chunk_unsafe(s) for s in specs):
-        return SAFE_DEEP3_GAMES
-    return num_games
+        seg = SAFE_DEEP3_GAMES
+    if cell_cost > 0:
+        seg = min(seg, max(1, live_budget() // cell_cost))
+    return seg
+
+
+def maximin_deep_batched(cfg, num_games: int, chunk_override: int = 0):
+    """Batched depth-3 maximin with the root ply folded into the chunk
+    axis — the round-5 restructure of the shape that crashed the TPU
+    worker (VERDICT r4 item 1c).
+
+    The round-4 path chunked the GAME axis around the per-game policy,
+    whose depth-3 root expansion is itself a ``lax.map`` — a map-in-map
+    that kernel-faulted at n >= 200 games regardless of chunk size
+    (data/logs/queue/19_diag_chunking.log).  Here the (games x 64 root
+    moves) axes are flattened into ONE node axis first: each node is a
+    root child board whose depth-2 maximin value is a plain 64x64 vmap
+    expansion, and the node axis is evaluated in lax.map slabs of
+    ``chunk`` nodes — a single map level, live memory ``chunk x 4096``
+    boards, any game count.  Bit-identical to the per-game recursion
+    (vmap/map associativity; gated by test_chunked_search).
+
+    ``chunk_override``: 0 = auto from the cost model (capped at
+    DEEP_CHUNK_CAP), >0 forced (same cap), <0 = one full vmap over all
+    nodes (small batches only)."""
+    from gymothelloenv_tpu.policies.scripted import (_BIG, _board_after,
+                                                     _maximin_value)
+    A = cfg.board_size * cfg.board_size
+    n_nodes = num_games * A
+    if chunk_override < 0:
+        chunk = n_nodes
+    else:
+        chunk = chunk_override or auto_chunk(n_nodes, COST_MAXIMIN_DEEP)
+        chunk = min(chunk or n_nodes, DEEP_CHUNK_CAP)
+
+    def node_value(board, persp, me):
+        return _maximin_value(board, persp, me, 2)
+
+    def batched_act(keys, states):
+        del keys
+        n = states.turn.shape[0]
+        actions = jnp.arange(A, dtype=jnp.int32)
+        children = jax.vmap(lambda s: jax.vmap(
+            lambda a: _board_after(s.board, s.turn, a))(actions))(states)
+        flat_b = children.reshape((n * A,) + children.shape[2:])
+        flat_p = jnp.repeat(-states.turn, A)
+        flat_m = jnp.repeat(states.turn, A)
+        m, r = divmod(n * A, chunk)
+        parts = []
+        if m > 0:
+            slab = lambda x: x[:m * chunk].reshape(
+                (m, chunk) + x.shape[1:])
+            out = jax.lax.map(
+                lambda t: jax.vmap(node_value)(*t),
+                (slab(flat_b), slab(flat_p), slab(flat_m)))
+            parts.append(out.reshape(-1))
+        if r > 0:
+            parts.append(jax.vmap(node_value)(
+                flat_b[m * chunk:], flat_p[m * chunk:],
+                flat_m[m * chunk:]))
+        vals = (parts[0] if len(parts) == 1
+                else jnp.concatenate(parts)).reshape(n, A)
+        return jnp.argmax(jnp.where(states.legal, vals, -_BIG),
+                          axis=1).astype(jnp.int32)
+
+    batched_act.batched = True
+    return batched_act
 
 
 def live_cost_of_spec(spec: str, lookahead_depth: int = 0) -> int:
@@ -94,11 +225,14 @@ def live_cost_of_spec(spec: str, lookahead_depth: int = 0) -> int:
     return COST_CHEAP
 
 
-def auto_chunk(num_games: int, cost: int, budget: int = LIVE_BUDGET) -> int:
-    """Largest chunk that keeps ``chunk * cost`` within ``budget`` (at
-    least 1); 0 means "no chunking needed" (the full batch fits).  Deep
-    scripted searches are additionally capped at ``DEEP_CHUNK_CAP`` (see
-    the note above)."""
+def auto_chunk(num_games: int, cost: int, budget: int = None) -> int:
+    """Largest chunk that keeps ``chunk * cost`` within ``budget``
+    (default: the device-derived :func:`live_budget`; at least 1); 0
+    means "no chunking needed" (the full batch fits).  Deep scripted
+    searches are additionally capped at ``DEEP_CHUNK_CAP`` (see the note
+    above)."""
+    if budget is None:
+        budget = live_budget()
     if num_games * cost <= budget:
         return 0
     chunk = max(1, budget // cost)
@@ -148,7 +282,7 @@ def chunked_batched(act, chunk: int):
 
 
 def maybe_chunked(act, num_games: int, cost: int,
-                  chunk_override: int = 0, budget: int = LIVE_BUDGET,
+                  chunk_override: int = 0, budget: int = None,
                   label: str = ""):
     """Apply ``chunked_batched`` when the cost model says the full-batch
     vmap would exceed the live budget.  ``chunk_override``: >0 forces that

@@ -60,6 +60,18 @@ class SelfPlayConfig:
     # reference-parity mirror self-play.
     opponent_pool: int = 0
     pool_interval: int = 250
+    # EXTERNAL anchor checkpoints mixed into the opponent pool (round-5
+    # probe: the raw-H2H weakness of search-bootstrapped nets survived
+    # every SELF-derived opponent variation — snapshot pools are
+    # themselves near-deterministic search-induced policies.  Anchors
+    # pin a broad-sampling-distribution opponent, e.g. wide2_4k, into
+    # the draw permanently: never evicted, uniform with the snapshots).
+    # Paths must hold the SAME architecture as the training net (the
+    # collector applies the training apply_fn to the opponent params).
+    # Requires opponent_pool > 0.  The reference's curriculum idea
+    # (run_self_play.py:213-282 rotates scripted opponent classes)
+    # generalized to checkpoint opponents.
+    pool_anchors: tuple = ()
     # GRU-recurrent policy (model.py:230-285 rebuilt working; see
     # agents.ppo.ppo_update_recurrent — the fork hard-errors on masked
     # actions here, algo/ppo.py:44-46).  num_envs must divide by
@@ -501,6 +513,9 @@ class PPOSelfPlayTrainer:
             raise ValueError(
                 f"pool_interval must be >= 1 when opponent_pool is on "
                 f"(got {self.run_cfg.pool_interval})")
+        if self.run_cfg.pool_anchors and self.run_cfg.opponent_pool <= 0:
+            raise ValueError("pool_anchors requires opponent_pool > 0 "
+                             "(anchors join the snapshot pool's draw)")
 
         recurrent = self.run_cfg.recurrent
         nstack = self.run_cfg.frame_stack
@@ -648,6 +663,28 @@ class PPOSelfPlayTrainer:
                 donate_argnums=(0, 1, 2))
         self.pool: list = []
         self._pool_rng = pyrandom.Random(self.run_cfg.seed)
+        self.anchors: list = []
+        for path in self.run_cfg.pool_anchors:
+            err = None
+            try:
+                _, ap, _, _ = load_checkpoint(path, self.params)
+                mismatch = [
+                    (jax.tree_util.keystr(kp), jnp.shape(a), b.shape)
+                    for (kp, a), b in zip(
+                        jax.tree_util.tree_leaves_with_path(ap),
+                        jax.tree.leaves(self.params))
+                    if jnp.shape(a) != b.shape]
+                if mismatch:
+                    err = f"shape mismatches {mismatch[:3]}"
+            except Exception as e:
+                err = repr(e)
+            if err is not None:
+                raise ValueError(
+                    f"pool anchor {path!r} does not match the training "
+                    f"net architecture (hidden_size / width_mult / "
+                    f"recurrent must agree — the collector applies the "
+                    f"training net to the opponent params): {err}")
+            self.anchors.append(ap)
 
         def eval_step(params, key):
             """Win rates vs rand & greedy, policy color randomized by
@@ -695,11 +732,9 @@ class PPOSelfPlayTrainer:
                     (self.params, self.opt_state), self.mesh)
             if self.run_cfg.opponent_pool > 0:
                 # Keep the pool invariant (the non-learning color is a
-                # frozen snapshot) from the very first opponent ply.
-                if not self.pool:
-                    self.pool.append(self._snapshot_params())
-                kwargs["opp_params"] = self.pool[
-                    self._pool_rng.randrange(len(self.pool))]
+                # frozen snapshot or anchor) from the very first
+                # opponent ply.
+                kwargs["opp_params"] = self._draw_opponent()
             if self._policy_state_size:   # recurrent or frame-stacked
                 self.sp_state = jax.jit(
                     selfplay_init_recurrent,
@@ -736,13 +771,19 @@ class PPOSelfPlayTrainer:
     def _snapshot_params(self):
         return jax.tree.map(lambda x: x.copy(), self.params)
 
+    def _draw_opponent(self):
+        """Uniform draw over anchors + snapshot ring (anchors are
+        permanent; the ring rotates)."""
+        if not self.pool:
+            self.pool.append(self._snapshot_params())
+        cands = self.anchors + self.pool
+        return cands[self._pool_rng.randrange(len(cands))]
+
     def _do_update(self, key):
         """One training update — the hook subclasses override to swap the
         algorithm (A2C, ACKTR, GAIL) while reusing the train loop."""
         if self.run_cfg.opponent_pool > 0:
-            if not self.pool:
-                self.pool.append(self._snapshot_params())
-            opp = self.pool[self._pool_rng.randrange(len(self.pool))]
+            opp = self._draw_opponent()
             self.params, self.opt_state, self.sp_state, metrics = \
                 self._train_step(self.params, self.opt_state,
                                  self.sp_state, key, opp)

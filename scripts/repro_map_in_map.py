@@ -1,0 +1,54 @@
+"""Minimal repro for the TPU map-in-map kernel fault (round-4 bisect,
+data/logs/queue/19_diag_chunking.log, 20b_bisect_crash.log; VERDICT r4
+item 1a).
+
+The faulting shape: a depth-3 maximin policy — whose ROOT expansion is an
+inner ``lax.map`` over the 64 candidate moves — game-chunked by an OUTER
+``lax.map`` (policies.chunking.chunked_batched) inside the tournament
+``while_loop``.  At n >= 200 games this kills the TPU worker at the first
+fetch (kernel fault), REGARDLESS of chunk size, while the same total
+work runs clean as (a) one full vmap at n <= ~125 games or (b) the
+round-5 restructured single-map node layout (chunking.maximin_deep_batched)
+at any n.
+
+Run on the real chip (expect a crash; wrap in `timeout`):
+    python scripts/repro_map_in_map.py 200        # map-in-map: FAULTS
+    python scripts/repro_map_in_map.py 200 flat   # restructured: clean
+
+Keep this file: if a future jax/libtpu build stops faulting here, the
+DEEP_CHUNK_CAP / SAFE_DEEP3_GAMES workarounds in policies/chunking.py can
+be re-examined (they are calibrated to this fault, not to a cost model).
+"""
+
+import sys
+
+import jax
+
+from gymothelloenv_tpu.core.state import EnvConfig
+from gymothelloenv_tpu.policies.chunking import (chunked_batched,
+                                                 maximin_deep_batched)
+from gymothelloenv_tpu.policies.scripted import maximin_policy, random_policy
+from gymothelloenv_tpu.train.tournament import play_games_impl
+from gymothelloenv_tpu.utils.tpu import warmup
+
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+mode = sys.argv[2] if len(sys.argv) > 2 else "nested"
+cfg = EnvConfig()
+
+warmup()
+if mode == "nested":
+    # lax.map(games) -> vmap -> lax.map(64 root moves) -> vmap(64x64):
+    # the round-4 faulting structure.
+    mm3 = chunked_batched(maximin_policy(3, cfg), 50)
+else:
+    # One lax.map over (games x roots) node slabs: the restructure.
+    mm3 = maximin_deep_batched(cfg, n)
+
+winners = jax.jit(lambda k: play_games_impl(
+    k, cfg, mm3, random_policy, n, 4))(jax.random.PRNGKey(0))
+import numpy as np
+
+print("winners histogram:",
+      {int(v): int(c) for v, c in zip(*np.unique(np.asarray(winners),
+                                                 return_counts=True))})
+print(f"OK: mode={mode} n={n} completed without faulting")

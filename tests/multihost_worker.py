@@ -298,23 +298,36 @@ def main(pid: int, port: str):
     expect = float(2.0 * np.mean(np.arange(GLOBAL, dtype=np.float64) ** 2))
     assert abs(g_val - expect) < 1e-3, (g_val, expect)
 
+    print("STAGE handshake done", flush=True)
+
     # Full sharded PPO train step across the 2-process cluster.
     value_loss = ppo_full_step(mesh)
     assert np.isfinite(value_loss), value_loss
+    print("STAGE ppo done", flush=True)
 
     # Every trainer family crosses the real process boundary (the
     # reference's process pool drives PPO, teacher-student AND Rainbow
     # workers uniformly, envs.py:19-25,260-288 — we match that coverage
     # and add the families the reference can't run).  The digests must
     # agree across processes AND with the single-process run the test
-    # computes on its own 8-device mesh.
+    # computes on its own 8-device mesh.  The "STAGE <family> done"
+    # lines are liveness markers: the module fixture watches stdout
+    # growth and fails within minutes naming the family that hung,
+    # instead of a silent half-hour timeout (round-5 VERDICT item 9).
     dqn_p, dqn_prio, dqn_size, dqn_t = dqn_full_chunks(mesh)
+    print("STAGE dqn done", flush=True)
     ts_t, ts_s = ts_full_chunks(mesh)
+    print("STAGE teacher-student done", flush=True)
     ps_p, ps_prio, ps_data, ps_size, ps_t = dqn_pershard_chunks(mesh)
+    print("STAGE dqn-pershard done", flush=True)
     rb_p, rb_t = rainbow_full_chunks(mesh)
+    print("STAGE rainbow done", flush=True)
     rbps_p, rbps_data, rbps_size, rbps_t = rainbow_pershard_chunks(mesh)
+    print("STAGE rainbow-pershard done", flush=True)
     a2c_p = a2c_full_steps(mesh)
+    print("STAGE a2c done", flush=True)
     rec_p = ppo_recurrent_steps(mesh)
+    print("STAGE ppo-recurrent done", flush=True)
     print(f"OK proc{pid} sum={got} grad={g_val} "
           f"ppo_value_loss={value_loss:.6f} "
           f"dqn_params={dqn_p} dqn_prio={dqn_prio} "

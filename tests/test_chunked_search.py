@@ -294,10 +294,10 @@ def test_opp_lookahead_cli():
 
 
 def test_host_segmentation(monkeypatch):
-    """The eval CLI splits depth>=3 programs into host-side segments and
-    pools tallies.  Exercised cheaply by flagging 'greedy' as
-    device-chunk-unsafe with a tiny safe size — 6 games over segments of
-    2+1 per color must still report totals over 6 games."""
+    """The eval CLI splits device-chunk-unsafe programs into host-side
+    segments and pools tallies.  Exercised cheaply by flagging 'greedy'
+    as device-chunk-unsafe with a tiny safe size — 6 games over segments
+    of 2+1 per color must still report totals over 6 games."""
     import contextlib
     import io
 
@@ -305,9 +305,23 @@ def test_host_segmentation(monkeypatch):
     from gymothelloenv_tpu.cli import eval_checkpoint
     from gymothelloenv_tpu.policies.chunking import host_segment_size
 
-    assert host_segment_size(("maximin-3",), 1000) == 100
+    # Depth-3 is device-chunkable since the round-5 restructure
+    # (maximin_deep_batched); only depth >= 4 still host-segments.
+    assert host_segment_size(("maximin-3",), 1000) == 1000
+    assert host_segment_size(("maximin-4",), 1000) == 100
     assert host_segment_size(("maximin-2",), 1000) == 1000
-    assert host_segment_size(("maximin-3",), 80) == 80
+    assert host_segment_size(("maximin-4",), 80) == 80
+    monkeypatch.setattr(chunking, "DEEP3_BATCHED", False)
+    assert host_segment_size(("maximin-3",), 1000) == 100  # fallback
+    monkeypatch.setattr(chunking, "DEEP3_BATCHED", True)
+    # Recurrent-lookahead cell cost bounds the segment through the live
+    # budget (ADVICE r4: these programs bypassed the cost model).
+    budget = chunking.live_budget()
+    assert host_segment_size((), 10**6,
+                             cell_cost=chunking.COST_LOOKAHEAD_1) == \
+        budget // chunking.COST_LOOKAHEAD_1
+    assert host_segment_size((), 10, cell_cost=chunking.COST_LOOKAHEAD_1) \
+        == 10
 
     monkeypatch.setattr(chunking, "SAFE_DEEP3_GAMES", 2)
     monkeypatch.setattr(chunking, "device_chunk_unsafe",
@@ -318,3 +332,86 @@ def test_host_segmentation(monkeypatch):
             "--load", "data/selfplay/ppo_fast4096_500.msgpack",
             "--opponent", "greedy", "--games", "6", "--seed", "3"])
     assert "over 6 games" in buf.getvalue()
+
+
+@pytest.mark.slow
+def test_maximin_deep_batched_matches_per_game():
+    """The restructured depth-3 path (root ply folded into the node
+    axis, one lax.map level) is bit-identical to the per-game recursion
+    — including the remainder (r > 0) slab and a forced tiny chunk."""
+    from gymothelloenv_tpu.policies.chunking import maximin_deep_batched
+
+    n = 3
+    states = random_states(n, seed=21, plies=40)
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    plain = jax.jit(jax.vmap(maximin_policy(3, CFG)))(keys, states)
+    for chunk in (50, 7, -1):
+        batched = maximin_deep_batched(CFG, n, chunk_override=chunk)
+        assert batched.batched
+        got = jax.jit(batched)(keys, states)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(got),
+                                      err_msg=f"chunk={chunk}")
+
+
+def test_policy_from_spec_deep3_routes_to_batched(monkeypatch):
+    import gymothelloenv_tpu.policies.chunking as chunking
+    from gymothelloenv_tpu.cli.tournament import policy_from_spec
+
+    act = policy_from_spec("maximin-3", CFG, num_games=500,
+                           expand_chunk=0)
+    assert getattr(act, "batched", False)
+    # Explicit full-vmap override and the fallback flag keep the old
+    # per-game act (host segmentation bounds it instead).
+    assert not getattr(policy_from_spec("maximin-3", CFG, num_games=500,
+                                        expand_chunk=-1),
+                       "batched", False)
+    monkeypatch.setattr(chunking, "DEEP3_BATCHED", False)
+    assert not getattr(policy_from_spec("maximin-3", CFG, num_games=500,
+                                        expand_chunk=0),
+                       "batched", False)
+
+
+@pytest.mark.slow
+def test_deep_policy_shape_sweep(monkeypatch):
+    """Stress the chunking shape logic (VERDICT r4 item 1d): odd batch
+    sizes x odd chunk sizes for every deep policy family must reproduce
+    the unchunked program exactly — head slabs, remainders, chunk > n,
+    chunk == n, chunk 1."""
+    from gymothelloenv_tpu.train.ppo_trainer import net_lookahead_policy
+
+    mm2 = maximin_policy(2, CFG)
+    la1 = net_lookahead_policy(None, _stub_apply, RCFG, depth=1)
+    la2 = net_lookahead_policy(None, _stub_apply, RCFG, depth=2)
+    for name, act, sizes in (("maximin-2", mm2, (7, 13)),
+                             ("lookahead-1", la1, (7, 13)),
+                             ("lookahead-2", la2, (5,))):
+        for n in sizes:
+            states = random_states(n, seed=100 + n)
+            keys = jax.random.split(jax.random.PRNGKey(n), n)
+            plain = jax.jit(jax.vmap(act))(keys, states)
+            for chunk in (1, 2, 3, n - 1, n, n + 1):
+                got = jax.jit(chunked_batched(act, chunk))(keys, states)
+                np.testing.assert_array_equal(
+                    np.asarray(plain), np.asarray(got),
+                    err_msg=f"{name} n={n} chunk={chunk}")
+
+
+def test_eval_cli_recurrent_armed_opponent():
+    """--opp-lookahead-depth 1 with a RECURRENT checkpoint opponent, for
+    both recurrent and feed-forward protagonists (ADVICE r4: only the
+    ff-vs-ff armed path was covered)."""
+    import contextlib
+    import io
+
+    from gymothelloenv_tpu.cli import eval_checkpoint
+
+    rec = "data/selfplay/ppo_recurrent_2000.msgpack"
+    ff = "data/selfplay/ppo_fast4096_500.msgpack"
+    for prot in (rec, ff):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            eval_checkpoint.main([
+                "--load", prot, "--opponent", f"ckpt:{rec}",
+                "--opp-lookahead-depth", "1", "--games", "4",
+                "--seed", "3"])
+        assert "over 4 games" in buf.getvalue(), prot

@@ -34,24 +34,68 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+# A single family (compile + 2 updates) takes ~1-4 min on the CPU mesh;
+# 8 min without a new STAGE marker means that family is hung — fail
+# then, naming it, instead of burning the whole 30-min cap first
+# (round-5 VERDICT item 9).
+STAGE_TIMEOUT = 480
+TOTAL_TIMEOUT = 1800
+
+
 @pytest.fixture(scope="module")
-def cluster_outs():
-    """Boot the 2-process cluster once; workers run all families and
-    print their digests.  Returns both processes' stdout."""
+def cluster_outs(tmp_path_factory):
+    """Boot the 2-process cluster once; workers run all families,
+    emitting a flushed "STAGE <family> done" marker after each.  The
+    fixture polls both stdout files and fails fast — pointing at the
+    family that hung — when neither file grows for STAGE_TIMEOUT.
+    Returns both processes' stdout."""
+    import time
+
     port = str(_free_port())
     env = {**os.environ, "PYTHONPATH": REPO}
     env.pop("JAX_PLATFORMS", None)   # workers set their own backend
+    tmp = tmp_path_factory.mktemp("multihost")
+    paths = [tmp / f"proc{pid}.out" for pid in (0, 1)]
+    files = [open(p, "w") for p in paths]
     procs = [subprocess.Popen(
         [sys.executable, WORKER, str(pid), port],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True) for pid in (0, 1)]
+        env=env, stdout=f, stderr=subprocess.STDOUT, text=True)
+        for pid, f in zip((0, 1), files)]
+
+    def read_outs():
+        return [p.read_text() for p in paths]
+
     try:
-        outs = [p.communicate(timeout=1800)[0] for p in procs]
+        t0 = last_progress = time.time()
+        sizes = [0, 0]
+        while any(p.poll() is None for p in procs):
+            time.sleep(5)
+            for i, p in enumerate(paths):
+                size = os.path.getsize(p)
+                if size != sizes[i]:
+                    sizes[i] = size
+                    last_progress = time.time()
+            now = time.time()
+            if (now - last_progress > STAGE_TIMEOUT
+                    or now - t0 > TOTAL_TIMEOUT):
+                outs = read_outs()
+                stages = [re.findall(r"STAGE (\S+) done", o)
+                          for o in outs]
+                raise AssertionError(
+                    f"multihost cluster stalled "
+                    f"({now - last_progress:.0f}s without output; "
+                    f"completed stages proc0={stages[0]} "
+                    f"proc1={stages[1]})\n"
+                    f"--- proc0 tail ---\n{outs[0][-2000:]}\n"
+                    f"--- proc1 tail ---\n{outs[1][-2000:]}")
     finally:
-        for p in procs:       # don't orphan cluster members on timeout
+        for p in procs:       # don't orphan cluster members on failure
             if p.poll() is None:
                 p.kill()
                 p.wait()
+        for f in files:
+            f.close()
+    outs = read_outs()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out}"
         assert f"OK proc{pid}" in out, out

@@ -464,3 +464,61 @@ def test_net_lookahead_policy_matches_explicit_expansion():
         a = int(legal[jax.random.randint(k, (), 0, len(legal))])
         s = core.step(s, jnp.int32(a), cfg).state
     assert checked >= 30
+
+
+def test_pool_anchor_training(tmp_path):
+    """--pool-anchor: an external checkpoint joins the opponent draw
+    permanently (never evicted), alongside the snapshot ring; anchors
+    with a mismatched architecture are rejected loudly."""
+    from gymothelloenv_tpu.utils.checkpoint import save_checkpoint
+
+    def run_cfg(**kw):
+        kw.setdefault("seed", 1)
+        return SelfPlayConfig(num_envs=8, num_steps=8,
+                              test_interval=10_000, save_interval=10_000,
+                              **kw)
+
+    # Build an anchor checkpoint with the SAME architecture.
+    donor = PPOSelfPlayTrainer(
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        ppo_cfg=PPOConfig(num_updates=2), run_cfg=run_cfg(seed=9),
+        log_fn=lambda step, m: None)
+    anchor = tmp_path / "anchor.msgpack"
+    save_checkpoint(str(anchor), 0, donor.params, donor.opt_state)
+
+    trainer = PPOSelfPlayTrainer(
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        ppo_cfg=PPOConfig(num_updates=6),
+        run_cfg=run_cfg(opponent_pool=2, pool_interval=2,
+                        pool_anchors=(str(anchor),)),
+        log_fn=lambda step, m: None)
+    assert len(trainer.anchors) == 1
+    trainer.train(6, log_every=100)
+    assert len(trainer.pool) == 2          # ring still caps
+    assert len(trainer.anchors) == 1       # anchors never evicted
+    a0 = jax.tree.leaves(trainer.anchors[0])
+    d0 = jax.tree.leaves(donor.params)
+    for a, b in zip(a0, d0):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Anchors without a pool are rejected.
+    with pytest.raises(ValueError, match="opponent_pool"):
+        PPOSelfPlayTrainer(
+            env_cfg=EnvConfig(num_disk_as_reward=True),
+            ppo_cfg=PPOConfig(), log_fn=lambda step, m: None,
+            run_cfg=run_cfg(pool_anchors=(str(anchor),)))
+
+    # Architecture-mismatched anchors are rejected loudly.
+    wide = PPOSelfPlayTrainer(
+        env_cfg=EnvConfig(num_disk_as_reward=True),
+        ppo_cfg=PPOConfig(num_updates=2),
+        run_cfg=run_cfg(seed=3, width_mult=2, hidden_size=64),
+        log_fn=lambda step, m: None)
+    bad = tmp_path / "bad.msgpack"
+    save_checkpoint(str(bad), 0, wide.params, wide.opt_state)
+    with pytest.raises(ValueError, match="architecture"):
+        PPOSelfPlayTrainer(
+            env_cfg=EnvConfig(num_disk_as_reward=True),
+            ppo_cfg=PPOConfig(), log_fn=lambda step, m: None,
+            run_cfg=run_cfg(opponent_pool=2,
+                            pool_anchors=(str(bad),)))

@@ -287,22 +287,26 @@ def test_gail_sharded_parity(tmp_path):
     _assert_tree_close(ref.params, sh.params)
 
 
-def test_acktr_sharded_runs():
-    """ACKTR under a mesh: K-FAC eigendecompositions are reassociation-
-    sensitive, so this gate checks the sharded step runs and stays finite
-    (strict 1-vs-8 parity is asserted for every other family above)."""
-    import numpy as np
-
+def test_acktr_sharded_parity():
+    """ACKTR 1-vs-8 parity.  K-FAC eigendecompositions are
+    reassociation-sensitive in principle, but the measured 1-vs-8 GSPMD
+    divergence after 2 updates is exactly 0.0 on every leaf (params,
+    K-FAC factors, eigenbasis, momentum) — same global program, same
+    math — so ACKTR gets the same strict gate as every other family
+    (round-5 VERDICT item 4; previously runs+finite)."""
     from gymothelloenv_tpu.agents.kfac import ACKTRConfig
     from gymothelloenv_tpu.train.acktr_trainer import ACKTRSelfPlayTrainer
     from gymothelloenv_tpu.train.ppo_trainer import SelfPlayConfig
 
-    run_cfg = SelfPlayConfig(num_envs=N_ENVS, num_steps=5,
-                             test_interval=10_000)
-    tr = ACKTRSelfPlayTrainer(ACKTRConfig(),
-                              env_cfg=EnvConfig(num_disk_as_reward=True),
-                              run_cfg=run_cfg, log_fn=lambda *a: None,
-                              mesh=make_mesh(8))
-    tr.train(2, log_every=100)
-    assert all(np.isfinite(np.asarray(x)).all()
-               for x in jax.tree.leaves(tr.params))
+    def build(mesh):
+        run_cfg = SelfPlayConfig(num_envs=N_ENVS, num_steps=5,
+                                 test_interval=10_000)
+        return ACKTRSelfPlayTrainer(
+            ACKTRConfig(), env_cfg=EnvConfig(num_disk_as_reward=True),
+            run_cfg=run_cfg, log_fn=lambda *a: None, mesh=mesh)
+
+    ref = build(make_mesh(1))
+    ref.train(2, log_every=100)
+    sh = build(make_mesh(8))
+    sh.train(2, log_every=100)
+    _assert_tree_close(ref.params, sh.params)
