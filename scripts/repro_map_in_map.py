@@ -11,13 +11,19 @@ work runs clean as (a) one full vmap at n <= ~125 games or (b) the
 round-5 restructured single-map node layout (chunking.maximin_deep_batched)
 at any n.
 
-Run on the real chip (expect a crash; wrap in `timeout`):
-    python scripts/repro_map_in_map.py 200        # map-in-map: FAULTS
-    python scripts/repro_map_in_map.py 200 flat   # restructured: clean
+Run on the real chip (wrap in `timeout`):
+    python scripts/repro_map_in_map.py <n> nested [chunk]  # round-4 shape
+    python scripts/repro_map_in_map.py <n> flat   [chunk]  # restructure
 
-Keep this file: if a future jax/libtpu build stops faulting here, the
-DEEP_CHUNK_CAP / SAFE_DEEP3_GAMES workarounds in policies/chunking.py can
-be re-examined (they are calibrated to this fault, not to a cost model).
+ROUND-5 FINDINGS (data/logs/queue/46_deep3_flat_validation.log,
+48_repro_map_in_map.log, 49_deep3_bisect.log): the fault is NOT the
+deterministic shape threshold round 4 recorded.  On 2026-08-21 the
+nested map-in-map ran CLEAN at n=200 (where round 4 crashed) with a
+histogram bit-identical to the flat path, while the FLAT path crashed
+at n=1000 / chunk 50 — the kernel faults appear load/tunnel-state
+dependent, not purely shape-driven.  Keep this script as the probe;
+policies/chunking.py keeps conservative caps because no shape has been
+proven crash-proof, only crash-rare.
 """
 
 import sys
@@ -33,16 +39,23 @@ from gymothelloenv_tpu.utils.tpu import warmup
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
 mode = sys.argv[2] if len(sys.argv) > 2 else "nested"
+chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 50
 cfg = EnvConfig()
+
+# Diagnostic escape hatch: the public APIs clamp deep chunks at
+# DEEP_CHUNK_CAP (no user-reachable faulting shape); the probe needs to
+# reach the shapes users can't.
+from gymothelloenv_tpu.policies import chunking as _chunking  # noqa: E402
+_chunking.DEEP_CHUNK_CAP = max(_chunking.DEEP_CHUNK_CAP, chunk)
 
 warmup()
 if mode == "nested":
     # lax.map(games) -> vmap -> lax.map(64 root moves) -> vmap(64x64):
     # the round-4 faulting structure.
-    mm3 = chunked_batched(maximin_policy(3, cfg), 50)
+    mm3 = chunked_batched(maximin_policy(3, cfg), chunk)
 else:
     # One lax.map over (games x roots) node slabs: the restructure.
-    mm3 = maximin_deep_batched(cfg, n)
+    mm3 = maximin_deep_batched(cfg, n, chunk_override=chunk)
 
 winners = jax.jit(lambda k: play_games_impl(
     k, cfg, mm3, random_policy, n, 4))(jax.random.PRNGKey(0))
