@@ -30,6 +30,16 @@ def main(argv=None):
     parser.add_argument("--num-chunks", type=int, default=2000)
     parser.add_argument("--lr", type=float, default=5e-6)
     parser.add_argument("--clip-param", type=float, default=0.1)
+    parser.add_argument("--entropy-coef", type=float, default=None,
+                        help="override PPOConfig.entropy_coef")
+    parser.add_argument("--hidden-size", type=int, default=512)
+    parser.add_argument("--width-mult", type=int, default=1,
+                        help="trunk channel multiplier (2 matches the "
+                             "wide2 self-play checkpoints for "
+                             "--teacher-load warm starts)")
+    parser.add_argument("--save-interval", type=int, default=200,
+                        help="chunks between --checkpoint saves "
+                             "({step} in the path keeps snapshots)")
     parser.add_argument("--no-train-teacher", action="store_true")
     parser.add_argument("--teacher-load", type=str, default="",
                         help="self-play checkpoint to warm-start the "
@@ -46,15 +56,20 @@ def main(argv=None):
     args, _ = parser.parse_known_args(argv)
 
     env_cfg = EnvConfig(board_size=args.board_size, num_disk_as_reward=True)
-    ppo_cfg = PPOConfig(lr=args.lr, clip_param=args.clip_param,
-                        num_updates=args.num_chunks)
+    ppo_kw = dict(lr=args.lr, clip_param=args.clip_param,
+                  num_updates=args.num_chunks)
+    if args.entropy_coef is not None:
+        ppo_kw["entropy_coef"] = args.entropy_coef
+    ppo_cfg = PPOConfig(**ppo_kw)
     run_cfg = TeacherStudentConfig(
         num_envs=args.num_envs, num_steps=args.num_steps,
         train_teacher=not args.no_train_teacher,
         init_rand_steps=args.init_rand_steps,
         num_test_games=args.num_test_games,
         test_interval=args.test_interval,
-        teacher_test_interval=args.teacher_test_interval, seed=args.seed)
+        teacher_test_interval=args.teacher_test_interval, seed=args.seed,
+        save_interval=args.save_interval,
+        hidden_size=args.hidden_size, width_mult=args.width_mult)
 
     logger = MetricsLogger(args.log_dir) if args.log_dir else None
     trainer = TeacherStudentTrainer(env_cfg=env_cfg, ppo_cfg=ppo_cfg,

@@ -59,6 +59,11 @@ class TeacherStudentConfig:
     teacher_test_interval: int = 200
     save_interval: int = 200
     seed: int = 0
+    # Capacity knobs (round-5 TS strength recipe — the other families
+    # got theirs in rounds 1-3); width_mult=2 lets the teacher
+    # warm-start from the wide2 self-play checkpoints.
+    hidden_size: int = 512
+    width_mult: int = 1
 
 
 @struct.dataclass
@@ -282,7 +287,9 @@ class TeacherStudentTrainer:
         self.run_cfg = run_cfg or TeacherStudentConfig()
         self.log_fn = log_fn
 
-        self.net = make_network(self.env_cfg)
+        self.net = make_network(self.env_cfg,
+                                hidden_size=self.run_cfg.hidden_size,
+                                width_mult=self.run_cfg.width_mult)
         self.apply_fn = make_apply_fn(self.net)
         self.optimizer = make_optimizer(self.ppo_cfg)
 
@@ -420,9 +427,9 @@ class TeacherStudentTrainer:
                            for k_, v in wins.items()})
             if checkpoint_path and \
                     self.chunk_count % self.run_cfg.save_interval == 0:
-                self.save(checkpoint_path)
+                self.save(checkpoint_path.format(step=self.chunk_count))
         if checkpoint_path:
-            self.save(checkpoint_path)
+            self.save(checkpoint_path.format(step=self.chunk_count))
 
     def evaluate_student(self):
         self.key, k = jax.random.split(self.key)

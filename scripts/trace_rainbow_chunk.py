@@ -55,7 +55,37 @@ def main():
     with jax.profiler.trace(trace_dir):
         float(fn(jax.random.PRNGKey(2)))
     print("trace dir:", trace_dir, flush=True)
-    print(format_op_table(summarize_trace(trace_dir)))
+    ops = summarize_trace(trace_dir)
+    print(format_op_table(ops))
+
+    # Attribute unsourced fusions (round-5 VERDICT item 6: name the
+    # 30 ms fusion): find each top op's definition in the compiled HLO
+    # and print its fused computation body.
+    txt = fn.lower(jax.random.PRNGKey(3)).compile().as_text()
+    lines = txt.splitlines()
+    for op in ops[:10]:
+        if not op.source:
+            defs = [ln for ln in lines
+                    if f"%{op.name} = " in ln or f" {op.name} = " in ln]
+            print(f"\n=== HLO def of {op.name} "
+                  f"({op.total_us / 1000:.2f} ms x{op.count}) ===")
+            for d in defs[:2]:
+                print(d.strip()[:400])
+                import re as _re
+                m = _re.search(r"calls=%?([\w.\-]+)", d)
+                if m:
+                    cname = m.group(1)
+                    for j, ln in enumerate(lines):
+                        if ln.lstrip().startswith(f"%{cname} ") or \
+                                ln.lstrip().startswith(f"{cname} "):
+                            k = j
+                            while k < len(lines) and lines[k].strip() != "}":
+                                print("   ", lines[k].strip()[:220])
+                                k += 1
+                                if k - j > 60:
+                                    print("    ... (truncated)")
+                                    break
+                            break
 
 
 if __name__ == "__main__":
