@@ -47,12 +47,18 @@ def main(argv=None):
                              "value head (terminal children with the true "
                              "reward), play the argmax")
     parser.add_argument("--lookahead-depth", type=int, default=1,
-                        choices=(1, 2),
+                        choices=(1, 2, 3),
                         help="value-lookahead search depth (2 = full "
                              "opponent-reply minimax over A^2 "
-                             "grandchildren; implies --lookahead)")
+                             "grandchildren; 3 = beam search — exact "
+                             "depth-2 backup under the --beam-k best "
+                             "children by depth-1 value; implies "
+                             "--lookahead)")
+    parser.add_argument("--beam-k", type=int, default=8,
+                        help="beam width for depth-3 lookahead (64 = "
+                             "exact full depth 3)")
     parser.add_argument("--opp-lookahead-depth", type=int, default=0,
-                        choices=(0, 1, 2),
+                        choices=(0, 1, 2, 3),
                         help="give a CHECKPOINT opponent the value-"
                              "lookahead operator too (0 = raw sampling; "
                              "best-vs-best head-to-heads)")
@@ -105,9 +111,11 @@ def main(argv=None):
             opp = None
         elif opp_la:
             opp = net_lookahead_policy(opp_params, opp_apply,
-                                       lookahead_cfg, depth=opp_la)
+                                       lookahead_cfg, depth=opp_la,
+                                       beam_k=args.beam_k)
             opp = maybe_chunked(
-                opp, n, live_cost_of_spec("", lookahead_depth=opp_la),
+                opp, n, live_cost_of_spec("", lookahead_depth=opp_la,
+                                          beam_k=args.beam_k),
                 chunk_override=args.expand_chunk,
                 label=f"opp-lookahead-{opp_la}")
         else:
@@ -121,11 +129,13 @@ def main(argv=None):
         if args.lookahead:
             net_act = net_lookahead_policy(params, apply_fn,
                                            lookahead_cfg,
-                                           depth=args.lookahead_depth)
+                                           depth=args.lookahead_depth,
+                                           beam_k=args.beam_k)
             net_act = maybe_chunked(
                 net_act, n,
                 live_cost_of_spec("",
-                                  lookahead_depth=args.lookahead_depth),
+                                  lookahead_depth=args.lookahead_depth,
+                                  beam_k=args.beam_k),
                 chunk_override=args.expand_chunk,
                 label=f"lookahead-{args.lookahead_depth}")
         else:

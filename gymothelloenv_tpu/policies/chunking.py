@@ -12,9 +12,9 @@ because its depth-k search is a per-game Python recursion
 
 This module restores arbitrary-game-count robustness the TPU-native way:
 ``chunked_batched`` lifts a per-game ``act(key, state)`` policy to a
-batched ``act(keys, states)`` that pads the game batch to a multiple of
-``chunk`` and runs ``lax.map`` over chunk-sized vmapped slabs, so live
-memory is ``chunk × per-game expansion`` regardless of the batch size.
+batched ``act(keys, states)`` that runs ``lax.map`` over chunk-sized
+vmapped slabs (pad-free: head slabs + a remainder vmap), so live memory
+is ``chunk × per-game expansion`` regardless of the batch size.
 The tournament runner calls batched policies directly (see
 ``train.tournament._policy_call``); everything stays inside one jitted
 program — no host-side game chunking needed.
@@ -99,11 +99,16 @@ def live_budget() -> int:
 #     so deep chunks are capped at DEEP_CHUNK_CAP.
 #   * maximin-3 under an OUTER game lax.map (its root expansion is
 #     itself an inner lax.map -> map-in-map inside the tournament
-#     while_loop) crashes at n >= 200 games REGARDLESS of chunk size,
-#     while the round-3 full-vmap shape is proven clean to ~125 games.
-#     Depth>=3 searches are therefore never device-chunked; the CLIs run
-#     them full-vmap in host-side segments of <= SAFE_DEEP3_GAMES games
-#     (multiple dispatches of the proven program shape).
+#     while_loop) crashed at n >= 200 games in the round-4 bisect, while
+#     the round-3 full-vmap shape is proven clean to ~125 games.
+#     Round-5 restructured depth-3 into the single-map node layout
+#     (maximin_deep_batched below; DEEP3_BATCHED); depth >= 4 keeps the
+#     nested-map per-game form and runs full-vmap in host-side segments
+#     of <= SAFE_DEEP3_GAMES games.  Round-5 probes also showed the
+#     faults are NOT deterministic shape thresholds (the round-4 nested
+#     shape ran clean on 2026-08-21 while a flat n=1000 run faulted —
+#     scripts/repro_map_in_map.py): treat every cap here as lowering
+#     crash FREQUENCY, not as a proven-safe boundary.
 DEEP_CHUNK_CAP = 50
 SAFE_DEEP3_GAMES = 100
 
@@ -209,11 +214,16 @@ def maximin_deep_batched(cfg, num_games: int, chunk_override: int = 0):
     return batched_act
 
 
-def live_cost_of_spec(spec: str, lookahead_depth: int = 0) -> int:
+def live_cost_of_spec(spec: str, lookahead_depth: int = 0,
+                      beam_k: int = 8) -> int:
     """Per-game live cost of a policy spec string (tournament CLI specs:
     ``rand | greedy | maximin-<k> | ckpt paths``).  ``lookahead_depth``
-    overrides for net checkpoints evaluated with ``--lookahead``."""
-    if lookahead_depth >= 2:
+    overrides for net checkpoints evaluated with ``--lookahead``;
+    depth 3 is the beam search (live = beam_k x the depth-2
+    expansion)."""
+    if lookahead_depth >= 3:
+        return beam_k * COST_LOOKAHEAD_2
+    if lookahead_depth == 2:
         return COST_LOOKAHEAD_2
     if lookahead_depth == 1:
         return COST_LOOKAHEAD_1

@@ -409,7 +409,7 @@ def chain_train_steps(step, chain: int):
 
 
 def net_lookahead_policy(params, apply_fn, cfg: EnvConfig,
-                         depth: int = 1):
+                         depth: int = 1, beam_k: int = 8):
     """Eval-time value lookahead (a policy-improvement operator the
     reference has no counterpart for): expand legal moves with the exact
     rules engine, score leaves with the trained VALUE head (negated when
@@ -421,9 +421,17 @@ def net_lookahead_policy(params, apply_fn, cfg: EnvConfig,
     ``depth`` = 1: one batched forward over the ``A`` children per
     decision.  ``depth`` = 2: expand all ``A x A`` grandchildren, ONE
     forward over the flattened batch, opponent (or forced-pass mover)
-    best-reply backup at each child.  Deeper search belongs to a chunked
-    generalization; the memory story for large game batches is handled by
-    wrapping this policy with ``policies.chunking.chunked_batched``.
+    best-reply backup at each child.  ``depth`` = 3 (round-5 probe,
+    VERDICT r4 item 8): BEAM search — rank the root's children by their
+    depth-1 value, keep the top ``beam_k`` legal ones, and give each
+    survivor an EXACT depth-2 minimax backup (its full ``A x A``
+    expansion); live memory is ``beam_k x A^2`` per game (linear in the
+    beam) instead of the full ``A^3``.  Pruning happens only at the
+    ROOT (a max node we control), so the risk is missing a move that
+    looks bad at depth 1 but great at depth 3 — never misjudging an
+    opponent reply.  ``beam_k = A`` degenerates to exact depth-3.  The
+    memory story for large game batches is handled by wrapping this
+    policy with ``policies.chunking.chunked_batched``.
 
     ``cfg`` must use the TRAINING reward scale (``num_disk_as_reward=True``
     for every trainer here) so terminal rewards and value estimates are
@@ -434,9 +442,11 @@ def net_lookahead_policy(params, apply_fn, cfg: EnvConfig,
     eval time without retraining."""
     from gymothelloenv_tpu.core import state as core
 
-    if depth not in (1, 2):
-        raise ValueError(f"lookahead depth must be 1 or 2, got {depth}")
+    if depth not in (1, 2, 3):
+        raise ValueError(f"lookahead depth must be 1, 2 or 3, got {depth}")
     A = cfg.num_actions
+    if depth == 3 and not 1 <= beam_k <= A:
+        raise ValueError(f"beam_k must be in [1, {A}], got {beam_k}")
     NEG = -jnp.float32(1e9)
 
     def leaf_values(states_flat, rewards_flat, root_turn):
@@ -446,11 +456,55 @@ def net_lookahead_policy(params, apply_fn, cfg: EnvConfig,
         mover_v = jnp.where(states_flat.turn == root_turn, v, -v)
         return jnp.where(states_flat.terminated, rewards_flat, mover_v)
 
+    def child_depth2_value(c, rc_rootp, root_turn):
+        """Exact depth-2 minimax value (root perspective) of one root
+        child ``c`` whose root-perspective terminal reward is
+        ``rc_rootp``: expand c's replies and their replies, evaluate the
+        great-grandchild frontier with the value head, back up by whose
+        turn each node is (the engine resolves passes inside step)."""
+        actions = jnp.arange(A, dtype=jnp.int32)
+        res2 = jax.vmap(lambda b: core.step(c, b, cfg))(actions)
+        gc = res2.state
+        r2 = jnp.where(c.turn == root_turn, res2.reward, -res2.reward)
+        res3 = jax.vmap(lambda g: jax.vmap(
+            lambda d: core.step(g, d, cfg))(actions))(gc)
+        ggc_flat = jax.tree.map(
+            lambda x: x.reshape((A * A,) + x.shape[2:]), res3.state)
+        r3 = jnp.where(gc.turn[:, None] == root_turn,
+                       res3.reward, -res3.reward).reshape(A * A)
+        ggc_vals = leaf_values(ggc_flat, r3, root_turn).reshape(A, A)
+        gc_is_max = gc.turn == root_turn
+        gc_best = jnp.where(
+            gc_is_max,
+            jnp.max(jnp.where(gc.legal, ggc_vals, NEG), axis=1),
+            jnp.min(jnp.where(gc.legal, ggc_vals, -NEG), axis=1))
+        gc_vals = jnp.where(gc.terminated, r2, gc_best)
+        c_is_max = c.turn == root_turn
+        c_best = jnp.where(
+            c_is_max,
+            jnp.max(jnp.where(c.legal, gc_vals, NEG)),
+            jnp.min(jnp.where(c.legal, gc_vals, -NEG)))
+        return jnp.where(c.terminated, rc_rootp, c_best)
+
     def act(key, state):
         del key
         actions = jnp.arange(A, dtype=jnp.int32)
         res = jax.vmap(lambda a: core.step(state, a, cfg))(actions)
         children = res.state
+        if depth == 3:
+            # Beam: rank children by depth-1 value, exact depth-2
+            # backup under the top beam_k.  Tie-break: among equal DEEP
+            # values the higher depth-1 rank wins (top_k breaks depth-1
+            # ties toward the lower action index).
+            vals_d1 = leaf_values(children, res.reward, state.turn)
+            ranked = jnp.where(state.legal, vals_d1, NEG)
+            _, idx = jax.lax.top_k(ranked, beam_k)
+            sel = jax.tree.map(lambda x: x[idx], children)
+            deep = jax.vmap(child_depth2_value,
+                            in_axes=(0, 0, None))(sel, res.reward[idx],
+                                                  state.turn)
+            deep = jnp.where(state.legal[idx], deep, NEG)
+            return idx[jnp.argmax(deep)].astype(jnp.int32)
         if depth == 1:
             vals = leaf_values(children, res.reward, state.turn)
         else:

@@ -415,3 +415,89 @@ def test_eval_cli_recurrent_armed_opponent():
                 "--opp-lookahead-depth", "1", "--games", "4",
                 "--seed", "3"])
         assert "over 4 games" in buf.getvalue(), prot
+
+
+def _explicit_lookahead3(s, k, step_fn):
+    """Independent Python coding of the depth-3 beam contract: rank
+    legal children by depth-1 value (stub value head), exact depth-2
+    minimax backup under the top-k, argmax with first-occurrence
+    tie-break in rank order."""
+    def stub_v(st):
+        obs = jnp.asarray(np.asarray(make_state(st), np.float32)[None])
+        return float(_stub_apply(None, obs)[1][0])
+
+    def rootp(st, v):
+        return v if int(st.turn) == int(s.turn) else -v
+
+    legal = np.flatnonzero(np.asarray(s.legal))
+    d1, info = {}, {}
+    for a in legal:
+        res = step_fn(s, jnp.int32(a))
+        c = res.state
+        rc = float(res.reward)
+        d1[a] = rc if bool(c.terminated) else rootp(c, stub_v(c))
+        info[a] = (c, rc)
+    ranked = sorted(legal, key=lambda a: (-d1[a], a))[:k]
+    best_val, best_a = -np.inf, None
+    for a in ranked:
+        c, rc = info[a]
+        if bool(c.terminated):
+            val = rc
+        else:
+            gc_vals = []
+            for b in np.flatnonzero(np.asarray(c.legal)):
+                res2 = step_fn(c, jnp.int32(b))
+                g = res2.state
+                r2 = rootp(c, float(res2.reward))
+                if bool(g.terminated):
+                    gc_vals.append(r2)
+                    continue
+                ggc_vals = []
+                for d in np.flatnonzero(np.asarray(g.legal)):
+                    res3 = step_fn(g, jnp.int32(d))
+                    gg = res3.state
+                    if bool(gg.terminated):
+                        ggc_vals.append(rootp(g, float(res3.reward)))
+                    else:
+                        ggc_vals.append(rootp(gg, stub_v(gg)))
+                gc_vals.append(max(ggc_vals)
+                               if int(g.turn) == int(s.turn)
+                               else min(ggc_vals))
+            val = (max(gc_vals) if int(c.turn) == int(s.turn)
+                   else min(gc_vals))
+        if val > best_val:
+            best_val, best_a = val, int(a)
+    return best_a
+
+
+@pytest.mark.slow
+def test_net_lookahead_depth3_beam_matches_explicit():
+    """Depth-3 beam lookahead == the independent explicit expansion, at
+    a narrow beam AND at beam_k = 64 (exact depth 3)."""
+    from gymothelloenv_tpu.train.ppo_trainer import net_lookahead_policy
+
+    step_fn = jax.jit(lambda s, a: core.step(s, a, RCFG))
+    key = jax.random.PRNGKey(11)
+    for k in (3, 64):
+        act = jax.jit(net_lookahead_policy(None, _stub_apply, RCFG,
+                                           depth=3, beam_k=k))
+        s = core.reset(RCFG)
+        # Skip into the midgame where passes/terminals appear.
+        for _ in range(30):
+            legal = np.flatnonzero(np.asarray(s.legal))
+            key, kk = jax.random.split(key)
+            a = int(legal[jax.random.randint(kk, (), 0, len(legal))])
+            s = step_fn(s, jnp.int32(a)).state
+            if bool(s.terminated):
+                s = core.reset(RCFG)
+        checked = 0
+        while checked < 6 and not bool(s.terminated):
+            got = int(act(key, s))
+            want = _explicit_lookahead3(s, k, step_fn)
+            assert got == want, (k, checked, got, want)
+            checked += 1
+            legal = np.flatnonzero(np.asarray(s.legal))
+            key, kk = jax.random.split(key)
+            a = int(legal[jax.random.randint(kk, (), 0, len(legal))])
+            s = step_fn(s, jnp.int32(a)).state
+        assert checked >= 4, (k, checked)
