@@ -101,6 +101,11 @@ def main(argv=None):
                              "lookahead while the update trains the raw "
                              "net (pair with --distill for approximate "
                              "policy iteration)")
+    parser.add_argument("--lookahead-mix", type=float, default=1.0,
+                        help="fraction of updates whose collection uses "
+                             "the lookahead override (deterministic "
+                             "interleave; 0.5 alternates plain and "
+                             "search-guided collection)")
     parser.add_argument("--lookahead-tau", type=float, default=0.0,
                         help="softmax temperature over child values for "
                              "--lookahead-collect (0 = argmax; value "
@@ -134,7 +139,8 @@ def main(argv=None):
         max_episode_plies=args.max_episode_plies,
         chain_updates=args.chain_updates,
         lookahead_collect=args.lookahead_collect,
-        lookahead_tau=args.lookahead_tau)
+        lookahead_tau=args.lookahead_tau,
+        lookahead_mix=args.lookahead_mix)
 
     logger = MetricsLogger(args.log_dir) if args.log_dir else None
     trainer = PPOSelfPlayTrainer(

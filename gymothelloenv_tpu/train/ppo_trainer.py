@@ -116,6 +116,14 @@ class SelfPlayConfig:
     # Softmax temperature over child values for the lookahead override
     # (0 = argmax; the value scale is the training disk-diff scale ±64).
     lookahead_tau: float = 0.0
+    # Fraction of updates whose COLLECTION uses the lookahead override
+    # (round-5 regime-mix probe: alternating search-guided and plain
+    # sampling collection keeps the raw distribution's support broad
+    # while still importing the search signal).  1.0 = every update
+    # (round-4 variant B); only meaningful with lookahead_collect.
+    # Updates are interleaved deterministically (Bresenham accumulator),
+    # e.g. 0.5 alternates strictly.
+    lookahead_mix: float = 1.0
 
 
 def make_network(cfg: EnvConfig, recurrent: bool = False,
@@ -645,7 +653,8 @@ class PPOSelfPlayTrainer:
                 constrain_batch, constrain_batch_axes)
         N_ = self.run_cfg.num_envs
 
-        def train_step(params, opt_state, sp_state, key, opp_params=None):
+        def make_train_step(act_override):
+          def train_step(params, opt_state, sp_state, key, opp_params=None):
             if mesh is not None:
                 sp_state = constrain_batch_axes(sp_state, mesh, (N_,))
             if rec_like:
@@ -699,12 +708,22 @@ class PPOSelfPlayTrainer:
                 rollout.reward.sum() / jnp.maximum(rollout.done.sum(), 1))
             metrics["episodes"] = rollout.done.sum()
             return params, opt_state, sp_state, metrics
+          return train_step
 
+        train_step = make_train_step(act_override)
         chain = self.run_cfg.chain_updates
         if chain > 1 and use_pool:
             raise ValueError("chain_updates > 1 is incompatible with "
                              "opponent_pool (snapshots re-draw per "
                              "update on host)")
+        mix = self.run_cfg.lookahead_mix
+        if self.run_cfg.lookahead_collect and not 0.0 < mix <= 1.0:
+            raise ValueError(f"lookahead_mix must be in (0, 1], got {mix}")
+        mixed = self.run_cfg.lookahead_collect and mix < 1.0
+        if mixed and chain > 1:
+            raise ValueError("lookahead_mix < 1 is incompatible with "
+                             "chain_updates > 1 (the chain bakes one "
+                             "collection mode)")
         if use_pool:
             self._train_step = jax.jit(train_step,
                                        donate_argnums=(0, 1, 2))
@@ -714,6 +733,16 @@ class PPOSelfPlayTrainer:
         else:
             self._train_step = jax.jit(
                 lambda p, o, s, k: train_step(p, o, s, k),
+                donate_argnums=(0, 1, 2))
+        # Mixed collection: a second jitted step whose collector has NO
+        # override; _pick_step interleaves the two deterministically.
+        self._train_step_plain = None
+        self._mix_err = 0.0
+        if mixed:
+            plain = make_train_step(None)
+            self._train_step_plain = jax.jit(
+                plain if use_pool else (lambda p, o, s, k:
+                                        plain(p, o, s, k)),
                 donate_argnums=(0, 1, 2))
         self.pool: list = []
         self._pool_rng = pyrandom.Random(self.run_cfg.seed)
@@ -833,22 +862,34 @@ class PPOSelfPlayTrainer:
         cands = self.anchors + self.pool
         return cands[self._pool_rng.randrange(len(cands))]
 
+    def _pick_step(self):
+        """Lookahead-mix interleaving: a Bresenham accumulator yields the
+        lookahead-collection step a ``lookahead_mix`` fraction of
+        updates and the plain-collection step otherwise (deterministic;
+        0.5 alternates strictly)."""
+        if getattr(self, "_train_step_plain", None) is None:
+            return self._train_step
+        self._mix_err += self.run_cfg.lookahead_mix
+        if self._mix_err >= 1.0 - 1e-9:
+            self._mix_err -= 1.0
+            return self._train_step
+        return self._train_step_plain
+
     def _do_update(self, key):
         """One training update — the hook subclasses override to swap the
         algorithm (A2C, ACKTR, GAIL) while reusing the train loop."""
+        step = self._pick_step()
         if self.run_cfg.opponent_pool > 0:
             opp = self._draw_opponent()
             self.params, self.opt_state, self.sp_state, metrics = \
-                self._train_step(self.params, self.opt_state,
-                                 self.sp_state, key, opp)
+                step(self.params, self.opt_state, self.sp_state, key, opp)
             if (self.update_count + 1) % self.run_cfg.pool_interval == 0:
                 self.pool.append(self._snapshot_params())
                 if len(self.pool) > self.run_cfg.opponent_pool:
                     self.pool.pop(0)
         else:
             self.params, self.opt_state, self.sp_state, metrics = \
-                self._train_step(self.params, self.opt_state,
-                                 self.sp_state, key)
+                step(self.params, self.opt_state, self.sp_state, key)
         return metrics
 
     def train(self, num_updates: int, log_every: int = 10,

@@ -221,3 +221,33 @@ def test_mobility_within_lookahead_k():
         worst = max(worst, int(counts.max()))
     assert worst <= LOOKAHEAD_K - 1, worst
     assert worst >= 10, worst
+
+
+def test_lookahead_mix_interleaves_and_trains():
+    """--lookahead-mix 0.5: the trainer alternates plain and
+    search-guided collection deterministically and still trains."""
+    cfg = SelfPlayConfig(num_envs=8, num_steps=6, seed=2,
+                         test_interval=10_000, save_interval=10_000,
+                         lookahead_collect=True, lookahead_tau=2.0,
+                         lookahead_mix=0.5)
+    tr = PPOSelfPlayTrainer(env_cfg=RCFG, ppo_cfg=PPOConfig(num_updates=4),
+                            run_cfg=cfg, log_fn=lambda s, m: None)
+    picks = [tr._pick_step() is tr._train_step for _ in range(6)]
+    assert picks == [False, True, False, True, False, True]
+    tr._mix_err = 0.0
+    tr.train(4, log_every=100)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(tr.params))
+
+    with pytest.raises(ValueError, match="chain_updates"):
+        PPOSelfPlayTrainer(
+            env_cfg=RCFG, ppo_cfg=PPOConfig(),
+            run_cfg=SelfPlayConfig(num_envs=8, lookahead_collect=True,
+                                   lookahead_mix=0.5, chain_updates=2),
+            log_fn=lambda s, m: None)
+    with pytest.raises(ValueError, match="lookahead_mix"):
+        PPOSelfPlayTrainer(
+            env_cfg=RCFG, ppo_cfg=PPOConfig(),
+            run_cfg=SelfPlayConfig(num_envs=8, lookahead_collect=True,
+                                   lookahead_mix=0.0),
+            log_fn=lambda s, m: None)
