@@ -119,6 +119,16 @@ SAFE_DEEP3_GAMES = 100
 # map-in-map that crashed the worker).  Flip to False to fall back to
 # the round-4 host-segmentation behavior if a future jax build regresses.
 DEEP3_BATCHED = True
+# Round-5 chip bisect (scripts/repro_map_in_map.py; logs 46/48/49/49b):
+# the restructured program is reliably clean up to 200 games/program
+# (256 chunk-50 slabs; 250 games also ran clean once) and reliably
+# faults at >= 400 games REGARDLESS of chunk size (50/100/125) or slab
+# count (crashes at m=256 that is clean at smaller n) — the boundary
+# tracks TOTAL expansion size, not program structure.  Depth-3 programs
+# are therefore host-segmented above this size; the restructure still
+# doubles the round-4 segment (100 -> 200) and removes the full-vmap
+# fragility inside each segment.
+DEEP3_MAX_GAMES = 200
 
 
 def device_chunk_unsafe(spec: str) -> bool:
@@ -146,6 +156,12 @@ def host_segment_size(specs, num_games: int, cell_cost: int = 0) -> int:
     if num_games > SAFE_DEEP3_GAMES and any(
             device_chunk_unsafe(s) for s in specs):
         seg = SAFE_DEEP3_GAMES
+    for s in specs:
+        # The restructured depth-3 path has its own measured per-program
+        # size ceiling (see DEEP3_MAX_GAMES above).
+        if (DEEP3_BATCHED and s.startswith("maximin-")
+                and int(s.split("-")[1]) == 3):
+            seg = min(seg, DEEP3_MAX_GAMES)
     if cell_cost > 0:
         seg = min(seg, max(1, live_budget() // cell_cost))
     return seg

@@ -15,15 +15,23 @@ Run on the real chip (wrap in `timeout`):
     python scripts/repro_map_in_map.py <n> nested [chunk]  # round-4 shape
     python scripts/repro_map_in_map.py <n> flat   [chunk]  # restructure
 
-ROUND-5 FINDINGS (data/logs/queue/46_deep3_flat_validation.log,
-48_repro_map_in_map.log, 49_deep3_bisect.log): the fault is NOT the
-deterministic shape threshold round 4 recorded.  On 2026-08-21 the
-nested map-in-map ran CLEAN at n=200 (where round 4 crashed) with a
-histogram bit-identical to the flat path, while the FLAT path crashed
-at n=1000 / chunk 50 — the kernel faults appear load/tunnel-state
-dependent, not purely shape-driven.  Keep this script as the probe;
-policies/chunking.py keeps conservative caps because no shape has been
-proven crash-proof, only crash-rare.
+ROUND-5 FINDINGS (logs 46/48/49/49b, 2026-08-21 bisect matrix):
+
+    flat  200 c50  (m=256)  CLEAN      nested 200 c50  CLEAN x2
+    flat  250 c125 (m=128)  CLEAN      nested 400 c50  CRASH
+    flat  400 c100 (m=256)  CRASH
+    flat  500 c50/c125      CRASH      flat 1000 c50/c100  CRASH x3
+
+The fault boundary tracks TOTAL per-call expansion size (~games x 64
+roots x 4096 leaves), NOT program structure: m=256 slabs is clean at
+n=200 and crashes at n=400; chunk 125 is clean at n=250 and crashes at
+n=500; the nested map-in-map itself ran clean at n=200 (round 4's
+"crashes at n>=200" was the flaky edge of the same size boundary).
+Crashes surface ~1-3 min into execution.  Consequence in
+policies/chunking.py: the restructured depth-3 path is used up to
+DEEP3_MAX_GAMES=200 games/program (2x the round-4 segment) and
+host-segmented above; nothing about the caps is structural — a future
+jax/libtpu build should re-run this matrix.
 """
 
 import sys

@@ -306,8 +306,11 @@ def test_host_segmentation(monkeypatch):
     from gymothelloenv_tpu.policies.chunking import host_segment_size
 
     # Depth-3 is device-chunkable since the round-5 restructure
-    # (maximin_deep_batched); only depth >= 4 still host-segments.
-    assert host_segment_size(("maximin-3",), 1000) == 1000
+    # (maximin_deep_batched) up to its measured per-program ceiling
+    # (DEEP3_MAX_GAMES, chip-bisected); depth >= 4 still host-segments
+    # at the full-vmap-proven size.
+    assert host_segment_size(("maximin-3",), 1000) == 200
+    assert host_segment_size(("maximin-3",), 150) == 150
     assert host_segment_size(("maximin-4",), 1000) == 100
     assert host_segment_size(("maximin-2",), 1000) == 1000
     assert host_segment_size(("maximin-4",), 80) == 80
