@@ -108,17 +108,23 @@ def lookahead_action_values(params, apply_fn: ApplyFn, eng, env,
     K = min(LOOKAHEAD_K, A)
     NEG = -jnp.float32(1e9)
     legal = eng.legal_flat(env)                       # (N, A) bool
-    rows = jnp.arange(N, dtype=jnp.int32)[:, None]
     actions = jnp.arange(A, dtype=jnp.int32)
-    # Rank each row's legal actions 0..n_legal-1; illegal actions dump
-    # into a dropped overflow column.
+    # Rank each row's legal actions 0..n_legal-1; illegal actions rank
+    # K (excluded from the one-hot below).  The compaction and the
+    # scatter-back both go through this (N, A, K) one-hot CONTRACTION
+    # rather than scatters: the round-5 chip trace showed the two
+    # scatters costing 77 + 41 ms/rollout (fusion.783/794, the order
+    # scatter K-independent at N*A source elements), while the one-hot
+    # product+reduce fuses on the VPU (data/logs/queue/
+    # 50_trace_lookahead_collect.log).
     pos = jnp.cumsum(legal, axis=1, dtype=jnp.int32) - 1
     slot = jnp.where(legal, pos, K)
-    order = jnp.zeros((N, K + 1), jnp.int32).at[rows, slot].set(
-        jnp.broadcast_to(actions[None, :], (N, A)))[:, :K]
-    # Unwritten slots (rows with < K legal moves) hold action 0: a
-    # duplicate evaluation of the same child, whose identical value
-    # scatters over itself harmlessly.
+    slot_oh = slot[:, :, None] == jnp.arange(K, dtype=jnp.int32)
+    order = (slot_oh * actions[None, :, None]).sum(
+        axis=1, dtype=jnp.int32)                      # (N, K)
+    # Unfilled slots (rows with < K legal moves) hold action 0: a
+    # duplicate evaluation whose value the contraction never reads
+    # (each legal (row, action) has exactly one slot).
 
     def child(k):
         return eng.step_all(env, order[:, k], cfg)
@@ -132,8 +138,9 @@ def lookahead_action_values(params, apply_fn: ApplyFn, eng, env,
     mover_v = jnp.where(flat.turn.reshape(K, N) == env.turn[None, :],
                         v, -v)
     vals_k = jnp.where(flat.terminated.reshape(K, N), rewards, mover_v)
-    return jnp.full((N, A), NEG, vals_k.dtype).at[rows, order].set(
-        vals_k.T)
+    contrib = (slot_oh.astype(vals_k.dtype)
+               * vals_k.T[:, None, :]).sum(axis=2)    # (N, A)
+    return jnp.where(legal, contrib, NEG)
 
 
 def make_lookahead_override(cfg: EnvConfig, tau: float = 0.0):
