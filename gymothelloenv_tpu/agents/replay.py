@@ -115,6 +115,32 @@ def replay_insert(rb: Replay, cfg: ReplayConfig, board, turn, action, reward,
 _PER_BLOCK = 1024
 
 
+def _row_cumsum_blocks(grid: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive row-wise prefix sum of ``(R, 1024)`` on the MXU.
+
+    XLA lowers ``jnp.cumsum(axis=-1)`` over 1024-wide rows through an
+    O(n*window) reduce-window — on the 1M-slot PER grid that single HLO
+    (fusion.936, f32[977,8,128] window 1x1x128) cost 0.235 ms per
+    update = 30 ms/chunk, the LARGEST op of the whole Rainbow train
+    chunk (round-5 attribution, data/logs/queue/
+    51_trace_rainbow_attrib.log).  A prefix sum is a triangular matmul:
+    splitting each row into 8 lane-groups of 128, one batched
+    (128, 128) upper-triangular matmul computes the within-group
+    prefixes in MXU time and an 8-wide cumsum supplies the group
+    offsets.  Float reassociation differs from the flat cumsum
+    (hierarchical vs sequential); the sampling distribution is
+    unchanged and indices are identical whenever priorities are exactly
+    representable (gated by tests/test_replay.py)."""
+    R, B = grid.shape
+    assert B == _PER_BLOCK == 8 * 128, B
+    sub = grid.reshape(R, 8, 128)
+    tri = jnp.triu(jnp.ones((128, 128), grid.dtype))
+    lane_cum = sub @ tri
+    sub_tot = lane_cum[..., -1]
+    sub_off = jnp.cumsum(sub_tot, axis=-1) - sub_tot
+    return (lane_cum + sub_off[..., None]).reshape(R, B)
+
+
 def replay_sample_idx(rb: Replay, cfg: ReplayConfig, key: jax.Array,
                       batch: int) -> jnp.ndarray:
     """Sample ``batch`` indices: uniform, or stratified proportional
@@ -138,7 +164,7 @@ def replay_sample_idx(rb: Replay, cfg: ReplayConfig, key: jax.Array,
                      jnp.pad(rb.priority[:C],
                              (0, nrows * _PER_BLOCK - C)), 0.0)
     grid = prio.reshape(nrows, _PER_BLOCK)
-    row_cum = jnp.cumsum(grid, axis=1)            # (nrows, BLOCK)
+    row_cum = _row_cumsum_blocks(grid)            # (nrows, BLOCK)
     block_tot = row_cum[:, -1]                    # (nrows,)
     block_cum = jnp.cumsum(block_tot)             # inclusive (nrows,)
     block_off = block_cum - block_tot             # exclusive offsets

@@ -123,3 +123,46 @@ def test_dqn_opponent_pool_mode():
     assert 0 < t <= 3 * 8 * 8 + 16, t
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree.leaves(tr.agent.params))
+
+
+def test_per_block_cumsum_matmul_exact():
+    """The MXU triangular-matmul prefix sum (round-5 replacement for the
+    reduce-window cumsum, agents/replay._row_cumsum_blocks) is exactly
+    jnp.cumsum for exactly-representable priorities, and the stratified
+    sampler picks identical indices."""
+    import numpy as np
+
+    from gymothelloenv_tpu.agents.replay import (Replay, ReplayConfig,
+                                                 _PER_BLOCK,
+                                                 _row_cumsum_blocks,
+                                                 replay_sample_idx)
+
+    rng = np.random.RandomState(0)
+    grid = jnp.asarray(rng.randint(0, 64, (16, _PER_BLOCK)),
+                       jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(_row_cumsum_blocks(grid)),
+        np.asarray(jnp.cumsum(grid, axis=1)))
+
+    # Sampler end-to-end vs an independent flat inverse-CDF search on
+    # the same integer priorities + the same stratified targets.
+    C = 4 * _PER_BLOCK
+    cfg = ReplayConfig(capacity=C, prioritized=True)
+    prio = rng.randint(1, 32, (C,)).astype(np.float32)
+    size = C - 37
+    prio[size:] = 7.0                 # junk beyond size must be ignored
+    rb = Replay(data=jnp.zeros((C + 1, 1), jnp.uint8),
+                priority=jnp.asarray(np.append(prio, 0.0)),
+                max_priority=jnp.float32(32.0),
+                write_pos=jnp.int32(0), size=jnp.int32(size))
+    batch = 256
+    key = jax.random.PRNGKey(3)
+    idx = np.asarray(replay_sample_idx(rb, cfg, key, batch))
+
+    live = prio.copy()
+    live[size:] = 0.0
+    flat = np.cumsum(live)
+    u = np.asarray(jax.random.uniform(key, (batch,)))
+    targets = (np.arange(batch) + u) * (flat[-1] / batch)
+    want = np.searchsorted(flat, targets, side="left")
+    np.testing.assert_array_equal(idx, np.clip(want, 0, size - 1))
