@@ -201,13 +201,25 @@ def main(argv=None):
     # live budget (each segment's hiddens start at zero, so segmentation
     # is exact).  Everything else is one program.
     from gymothelloenv_tpu.policies.chunking import (COST_LOOKAHEAD_1,
-                                                     host_segment_size)
+                                                     host_segment_size,
+                                                     total_cost_of_spec)
     cell_cost = 0
     if recurrent and args.lookahead:
         cell_cost += COST_LOOKAHEAD_1
     if opp_recurrent and opp_la:
         cell_cost += COST_LOOKAHEAD_1
-    seg = host_segment_size((opp_spec,), n, cell_cost=cell_cost)
+    # Both sides' deep searches count toward the per-program
+    # total-expansion ceiling (a beam-3 protagonist + maximin-3
+    # opponent program at 100 games crossed it, log 54).
+    costs = [opp_spec if opp_apply is None else
+             (total_cost_of_spec("", lookahead_depth=opp_la,
+                                 beam_k=args.beam_k)
+              if opp_la and not opp_recurrent else 0)]
+    if not recurrent and args.lookahead:
+        costs.append(total_cost_of_spec(
+            "", lookahead_depth=args.lookahead_depth,
+            beam_k=args.beam_k))
+    seg = host_segment_size(costs, n, cell_cost=cell_cost)
 
     t0 = time.time()
     key = jax.random.PRNGKey(args.seed)

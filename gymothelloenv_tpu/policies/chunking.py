@@ -119,16 +119,19 @@ SAFE_DEEP3_GAMES = 100
 # map-in-map that crashed the worker).  Flip to False to fall back to
 # the round-4 host-segmentation behavior if a future jax build regresses.
 DEEP3_BATCHED = True
-# Round-5 chip bisect (scripts/repro_map_in_map.py; logs 46/48/49/49b):
-# the restructured program is reliably clean up to 200 games/program
-# (256 chunk-50 slabs; 250 games also ran clean once) and reliably
-# faults at >= 400 games REGARDLESS of chunk size (50/100/125) or slab
-# count (crashes at m=256 that is clean at smaller n) — the boundary
-# tracks TOTAL expansion size, not program structure.  Depth-3 programs
-# are therefore host-segmented above this size; the restructure still
-# doubles the round-4 segment (100 -> 200) and removes the full-vmap
-# fragility inside each segment.
-DEEP3_MAX_GAMES = 200
+# Round-5 chip bisect (scripts/repro_map_in_map.py; logs 46/48/49/49b +
+# the beam-3 probe, log 54): the worker fault boundary tracks the TOTAL
+# per-call expansion size — games x the whole serialized search tree —
+# not program structure (chunk size / slab count / nesting all ruled
+# out).  Calibration points, in the cost units below (plane boards = 1,
+# net-evaluated leaves carry the same 16x factor as the live-cost
+# table):
+#   clean:  maximin-3 @ 200 games  = 52.4M   (250 also clean once)
+#           beam-3(k=8) @ 100 games = 52.4M
+#   crash:  maximin-3 @ 400+ games >= 105M  (repeatedly, any chunk)
+#           beam-3 + maximin-3 @ 100 games = 78.6M
+# Host segmentation bounds every program at the proven-clean total:
+TOTAL_EXPANSION_CAP = 200 * (64 ** 3)   # = 52.4M units
 
 
 def device_chunk_unsafe(spec: str) -> bool:
@@ -143,10 +146,29 @@ def device_chunk_unsafe(spec: str) -> bool:
     return False
 
 
+def total_cost_of_spec(spec: str, lookahead_depth: int = 0,
+                       beam_k: int = 8) -> int:
+    """Per-game TOTAL expansion cost — the whole serialized search tree,
+    the quantity the TPU worker's size-boundary fault tracks (see the
+    calibration table above).  For the net lookaheads total == live (all
+    leaves in one batch); for deep maximin the tree serializes through
+    lax.map so total (64^depth) far exceeds the live set.  Cheap
+    policies return 0 (they don't constrain the segment)."""
+    if lookahead_depth:
+        return live_cost_of_spec(spec, lookahead_depth, beam_k)
+    if spec.startswith("maximin-"):
+        depth = int(spec.split("-")[1])
+        return 64 ** depth if depth >= 2 else 0
+    return 0
+
+
 def host_segment_size(specs, num_games: int, cell_cost: int = 0) -> int:
     """Games per host-side program segment: ``num_games`` (one program)
-    unless (a) a device-chunk-unsafe search is involved and the batch
-    exceeds the safe full-vmap size, or (b) ``cell_cost`` > 0 — a
+    unless the specs' combined TOTAL expansion (entries may be spec
+    strings or precomputed per-game costs) exceeds the proven-clean
+    program size, or (a) a device-chunk-unsafe search is involved and
+    the batch exceeds the safe full-vmap size, or (b) ``cell_cost`` > 0
+    — a
     per-game live cost for stateful (recurrent) actors that cannot be
     device-chunked because their hidden threads live in the game loop
     carry; the segment is then bounded so ``segment * cell_cost`` fits
@@ -156,12 +178,13 @@ def host_segment_size(specs, num_games: int, cell_cost: int = 0) -> int:
     if num_games > SAFE_DEEP3_GAMES and any(
             device_chunk_unsafe(s) for s in specs):
         seg = SAFE_DEEP3_GAMES
+    total = 0
     for s in specs:
-        # The restructured depth-3 path has its own measured per-program
-        # size ceiling (see DEEP3_MAX_GAMES above).
-        if (DEEP3_BATCHED and s.startswith("maximin-")
-                and int(s.split("-")[1]) == 3):
-            seg = min(seg, DEEP3_MAX_GAMES)
+        total += s if isinstance(s, int) else total_cost_of_spec(s)
+    if total > 0:
+        # Bound the program's TOTAL expansion at the proven-clean size
+        # (see TOTAL_EXPANSION_CAP above).
+        seg = min(seg, max(1, TOTAL_EXPANSION_CAP // total))
     if cell_cost > 0:
         seg = min(seg, max(1, live_budget() // cell_cost))
     return seg

@@ -306,14 +306,20 @@ def test_host_segmentation(monkeypatch):
     from gymothelloenv_tpu.policies.chunking import host_segment_size
 
     # Depth-3 is device-chunkable since the round-5 restructure
-    # (maximin_deep_batched) up to its measured per-program ceiling
-    # (DEEP3_MAX_GAMES, chip-bisected); depth >= 4 still host-segments
-    # at the full-vmap-proven size.
+    # (maximin_deep_batched) up to the chip-bisected TOTAL-expansion
+    # program ceiling; combined deep pairings shrink the segment
+    # accordingly (the beam-3 + maximin-3 program at 100 games crashed,
+    # log 54 — its seg is now 66).
     assert host_segment_size(("maximin-3",), 1000) == 200
     assert host_segment_size(("maximin-3",), 150) == 150
-    assert host_segment_size(("maximin-4",), 1000) == 100
+    assert host_segment_size(("maximin-3", "maximin-3"), 1000) == 100
     assert host_segment_size(("maximin-2",), 1000) == 1000
-    assert host_segment_size(("maximin-4",), 80) == 80
+    assert host_segment_size(
+        (chunking.total_cost_of_spec("", lookahead_depth=3, beam_k=8),
+         "maximin-3"), 100) == 66
+    # Depth-4's total tree (64^4/game) bounds segments to 3 games —
+    # slow but inside the proven envelope (never chip-tested at more).
+    assert host_segment_size(("maximin-4",), 1000) == 3
     monkeypatch.setattr(chunking, "DEEP3_BATCHED", False)
     assert host_segment_size(("maximin-3",), 1000) == 100  # fallback
     monkeypatch.setattr(chunking, "DEEP3_BATCHED", True)
