@@ -176,7 +176,8 @@ def host_segment_size(specs, num_games: int, cell_cost: int = 0) -> int:
     host segmentation is exact for them)."""
     seg = num_games
     if num_games > SAFE_DEEP3_GAMES and any(
-            device_chunk_unsafe(s) for s in specs):
+            isinstance(s, str) and device_chunk_unsafe(s)
+            for s in specs):
         seg = SAFE_DEEP3_GAMES
     total = 0
     for s in specs:

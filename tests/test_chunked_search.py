@@ -317,6 +317,11 @@ def test_host_segmentation(monkeypatch):
     assert host_segment_size(
         (chunking.total_cost_of_spec("", lookahead_depth=3, beam_k=8),
          "maximin-3"), 100) == 66
+    # Mixed int-cost + spec-string entries at n > SAFE_DEEP3_GAMES (the
+    # shape job 56 crashed on: ints must not reach device_chunk_unsafe).
+    assert host_segment_size(
+        (chunking.total_cost_of_spec("", lookahead_depth=2),
+         "maximin-3"), 500) == 160
     # Depth-4's total tree (64^4/game) bounds segments to 3 games —
     # slow but inside the proven envelope (never chip-tested at more).
     assert host_segment_size(("maximin-4",), 1000) == 3
