@@ -137,7 +137,10 @@ def _row_cumsum_blocks(grid: jnp.ndarray) -> jnp.ndarray:
     tri = jnp.triu(jnp.ones((128, 128), grid.dtype))
     lane_cum = sub @ tri
     sub_tot = lane_cum[..., -1]
-    sub_off = jnp.cumsum(sub_tot, axis=-1) - sub_tot
+    # Exclusive 8-wide prefix as a matmul too: the jnp.cumsum version
+    # still lowered as a 5.2 ms/chunk reduce-window (58_rainbow_after
+    # retrace).
+    sub_off = sub_tot @ jnp.triu(jnp.ones((8, 8), grid.dtype), k=1)
     return (lane_cum + sub_off[..., None]).reshape(R, B)
 
 
