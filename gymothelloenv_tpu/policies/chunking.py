@@ -130,8 +130,16 @@ DEEP3_BATCHED = True
 #           beam-3(k=8) @ 100 games = 52.4M
 #   crash:  maximin-3 @ 400+ games >= 105M  (repeatedly, any chunk)
 #           beam-3 + maximin-3 @ 100 games = 78.6M
-# Host segmentation bounds every program at the proven-clean total:
-TOTAL_EXPANSION_CAP = 200 * (64 ** 3)   # = 52.4M units
+# Host segmentation bounds every program at the proven-clean total.
+# MIXED programs (two DISTINCT deep searches in one program) fault at
+# totals where pure programs are clean — depth-2 lookahead + maximin-3
+# ran clean at 100 games/program throughout round 4 (32.8M units,
+# n=1000 in segments) but crashed at 160 games = 52.4M (job 63), and
+# beam-3 + maximin-3 crashed at 100 games = 78.6M (job 54) — so no
+# single linear unit weighting fits both pure and mixed data; mixed
+# programs get their own proven-clean cap.
+TOTAL_EXPANSION_CAP = 200 * (64 ** 3)        # = 52.4M units (pure)
+MIXED_EXPANSION_CAP = 100 * (64 ** 3 + 65536)  # = 32.8M units (mixed)
 
 
 def device_chunk_unsafe(spec: str) -> bool:
@@ -179,13 +187,15 @@ def host_segment_size(specs, num_games: int, cell_cost: int = 0) -> int:
             isinstance(s, str) and device_chunk_unsafe(s)
             for s in specs):
         seg = SAFE_DEEP3_GAMES
-    total = 0
-    for s in specs:
-        total += s if isinstance(s, int) else total_cost_of_spec(s)
-    if total > 0:
+    costs = [s if isinstance(s, int) else total_cost_of_spec(s)
+             for s in specs]
+    deep = [c for c in costs if c > 0]
+    if deep:
         # Bound the program's TOTAL expansion at the proven-clean size
-        # (see TOTAL_EXPANSION_CAP above).
-        seg = min(seg, max(1, TOTAL_EXPANSION_CAP // total))
+        # (pure vs mixed — see the cap notes above).
+        cap = (MIXED_EXPANSION_CAP if len(deep) >= 2
+               else TOTAL_EXPANSION_CAP)
+        seg = min(seg, max(1, cap // sum(deep)))
     if cell_cost > 0:
         seg = min(seg, max(1, live_budget() // cell_cost))
     return seg

@@ -312,16 +312,19 @@ def test_host_segmentation(monkeypatch):
     # log 54 — its seg is now 66).
     assert host_segment_size(("maximin-3",), 1000) == 200
     assert host_segment_size(("maximin-3",), 150) == 150
-    assert host_segment_size(("maximin-3", "maximin-3"), 1000) == 100
+    # Deep-vs-deep pairings take the (conservative) mixed cap too.
+    assert host_segment_size(("maximin-3", "maximin-3"), 1000) == 62
     assert host_segment_size(("maximin-2",), 1000) == 1000
     assert host_segment_size(
         (chunking.total_cost_of_spec("", lookahead_depth=3, beam_k=8),
-         "maximin-3"), 100) == 66
+         "maximin-3"), 100) == 41
     # Mixed int-cost + spec-string entries at n > SAFE_DEEP3_GAMES (the
     # shape job 56 crashed on: ints must not reach device_chunk_unsafe).
+    # Mixed deep programs use the tighter MIXED_EXPANSION_CAP (job-63
+    # crash at 160 games; round-4 proved 100 clean at n=1000 total).
     assert host_segment_size(
         (chunking.total_cost_of_spec("", lookahead_depth=2),
-         "maximin-3"), 500) == 160
+         "maximin-3"), 500) == 100
     # Depth-4's total tree (64^4/game) bounds segments to 3 games —
     # slow but inside the proven envelope (never chip-tested at more).
     assert host_segment_size(("maximin-4",), 1000) == 3
