@@ -16,8 +16,10 @@ batched ``act(keys, states)`` that runs ``lax.map`` over chunk-sized
 vmapped slabs (pad-free: head slabs + a remainder vmap), so live memory
 is ``chunk × per-game expansion`` regardless of the batch size.
 The tournament runner calls batched policies directly (see
-``train.tournament._policy_call``); everything stays inside one jitted
-program — no host-side game chunking needed.
+``train.tournament._policy_call``).  Programs whose TOTAL expansion
+would cross the chip's crash boundary (see TOTAL_EXPANSION_CAP below)
+are additionally split into host-side segments by the CLIs via
+``host_segment_size`` — still one user invocation.
 """
 
 from __future__ import annotations
